@@ -1,0 +1,55 @@
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed over a full execution (collect-less: count() on
+the result so every operator runs but driver transfer stays flat).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_TAG = "bench"
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from firefly_vcut_spark.plans import all_queries
+    from firefly_vcut_spark.session import get_spark
+
+    spark = get_spark("firefly_vcut_spark-bench")
+    qs = all_queries()
+    bench_names = [n for n, q in sorted(qs.items()) if HEADLINE_TAG in q.tags] or sorted(qs)
+
+    # warm the JVM + parquet footers once, outside timing
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        t0 = time.perf_counter()
+        qs[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
