@@ -1,0 +1,101 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths, same interface:
+- ``brute_force_topk`` — the exactness baseline: query set (small,
+  broadcast) × corpus, cosine per pair, per-query top-k via a
+  partial-aggregating min-heap equivalent (max_by over an ordering
+  struct would keep only k=1; here a window rank bounded to the
+  query-partitioned scored set — the scored set is |queries|·|corpus|
+  rows, but never materialized wider than the shuffle on query_id).
+- ``bucketed_topk`` — the scale path: corpus pre-bucketed by a
+  coarse quantizer (IVF-style cell = any deterministic bucket column,
+  e.g. a cluster label or a sign-bit LSH code); each query probes only
+  its own cell, cutting the scored pairs by the bucket fan-out factor.
+
+Ranking is on the ROUNDED cosine with id tiebreak, so result order is
+engine-stable (FP last-ulp drift cannot flip the hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.functions.vectors import cosine
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set over the
+    corpus; one shuffle on query_id for the per-query rank."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bucket: Column,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF/LSH-style top-k: score only pairs sharing the bucket
+    (nprobe=1). ``bucket`` is evaluated against both sides' rows."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        bucket.alias("bucket"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        bucket.alias("bucket"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -1,0 +1,269 @@
+"""Deduplication operator family for large-scale corpus pipelines:
+exact (hash group-by), MinHash+LSH banding, SimHash, n-gram Jaccard,
+and embedding-cosine near-dup.
+
+Scale design notes (each operator, at 100 TB):
+- exact: one shuffle on a fixed-width digest, never on the text.
+- minhash: signatures computed per-row (no shuffle), then ONE shuffle
+  on (band_id, band_hash) buckets; candidate pairs only within
+  buckets — never an all-pairs join.
+- simhash: 64 bitplane aggregates per doc computed map-side from
+  exploded tokens; near-dup candidates via 16-bit band buckets
+  (Hamming ≤ 3 ⇒ at least one of 4 bands identical).
+- ngram-jaccard: exact verification restricted to candidate pairs
+  (blocked join), token sets exploded once and joined on token.
+- embedding cosine: bucketed by a blocking key (label / LSH bucket),
+  pairs only within buckets; cosine is pure-Column JVM math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.functions.vectors import cosine
+
+
+def normalized_text(text: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace runs."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on an md5 digest of normalized text; keeps the
+    lowest id per group (deterministic canonical representative).
+    Shuffles 16-byte digests + ids, never the documents."""
+    digest = F.md5(normalized_text(F.col(text_col)))
+    return (
+        docs.select(F.col(id_col), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles from whitespace-tokenized text; texts shorter
+    than n words yield their single whole-text shingle."""
+    words = F.split(normalized_text(text), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(i, shingle) — one pass, no shuffle, JVM hash."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(i, s))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding: docs sharing any band
+    of their MinHash signature. Returns (id_a, id_b, n_shared_bands),
+    id_a < id_b. The only shuffle is on band buckets."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(F.col(text_col)), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: tokens hashed with xxhash64, each
+    bitplane summed ±1, sign → bit. All map-side until one agg shuffle
+    on the doc id."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via
+    4×16-bit band buckets (pigeonhole: ≤3 differing bits ⇒ ≥1 equal
+    band), then exact popcount verification on the candidates."""
+    sigs = simhash64(docs, text_col, id_col)
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    blocking: Column,
+    max_id_gap: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs inside a blocking
+    key (e.g. same source, bounded id gap) — the verification stage a
+    banding pass feeds at scale. Pure set algebra: tokens exploded
+    once, intersection via equi-join on (block, token), union by
+    inclusion–exclusion."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        blocking.alias("block"),
+        F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    tok = base.select("id", "block", F.explode("toks").alias("tok"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.id") - F.col("a.id") <= max_id_gap),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    na = base.select(F.col("id").alias("id_a"), F.col("n_toks").alias("n_a"))
+    nb = base.select(F.col("id").alias("id_b"), F.col("n_toks").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    bucket: Column,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking bucket.
+    Cosine is pure-Column math; the filter compares the ROUNDED value
+    so the threshold boundary is engine-stable."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        bucket.alias("bucket"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,95 @@
+"""Text-analysis operators for corpus pipelines: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+All pure-Column (JVM, codegen) — no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.operators.dedup import normalized_text
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+_MOD = 1_000_000_007
+_BASE = 131
+
+
+def tokens(text: Column) -> Column:
+    return F.split(normalized_text(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("long")
+
+
+def subword_count(text: Column, piece: int = 4) -> Column:
+    """BPE-ish subword estimate: ceil(len(word)/piece) per token —
+    a deterministic stand-in for a real tokenizer's piece count."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / piece).cast("long"),
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, 100]: length saturation,
+    stopword-band fit, and mean-token-length band — the
+    length/punct/stopword-ratio recipe of corpus filtering."""
+    n = token_count(text)
+    length_part = F.least(n / 50.0, F.lit(1.0)) * 40
+    sw = stopword_ratio(text)
+    sw_part = F.when((sw >= 0.03) & (sw <= 0.40), F.lit(30.0)).otherwise(
+        F.lit(10.0)
+    )
+    mt = mean_token_len(text)
+    mt_part = F.when((mt >= 3.0) & (mt <= 8.0), F.lit(30.0)).otherwise(F.lit(10.0))
+    return F.round(length_part + sw_part + mt_part, 4)
+
+
+def lang_id_heuristic(text: Column) -> Column:
+    """n-gram-frequency language-ID heuristic. The synthetic corpus is
+    one shared vocabulary, so the discriminator is necessarily crude:
+    English-marker ('the'/'a'/'is') token ratio banded into en /
+    en-like / und. Deterministic and engine-portable; a real model
+    slots in behind the same Column interface."""
+    toks = tokens(text)
+    markers = F.size(F.filter(toks, lambda t: t.isin("the", "a", "is")))
+    ratio = markers / F.greatest(F.size(toks), F.lit(1))
+    return (
+        F.when(ratio >= 0.08, F.lit("en"))
+        .when(ratio >= 0.03, F.lit("en-like"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 digest of normalized text."""
+    return F.md5(normalized_text(text))
+
+
+def fingerprint_rolling(text: Column) -> Column:
+    """Order-sensitive rolling polynomial hash over tokens:
+    acc·131 + (first-char code)·31 + token length (mod 1e9+7) —
+    integer arithmetic only, so both engines agree exactly."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * _BASE + F.ascii(t) * 31 + F.length(t)) % _MOD,
+    )

@@ -1,1 +1,385 @@
-"""Placeholder; filled in as operators land."""
+"""North-star extension queries: dedup family, similarity search,
+text analysis, multimodal columns (BASELINE.json's LLM-data-pipeline
+operator set; SURVEY.md §7.2 step 7).
+
+Thresholds are fixture-tuned (synthetic embeddings have max
+within-label cosine ≈ 0.47; documents have no natural exact dups, so
+the exact-dedup corpus plants them via a shifted union)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.functions.vectors import sign_bucket
+from firefly_vcut_spark.operators import text as tx
+from firefly_vcut_spark.operators.ann import brute_force_topk, bucketed_topk
+from firefly_vcut_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from firefly_vcut_spark.operators.multimodal import (
+    attach_fake_blobs,
+    decode_features,
+    sample_frames,
+)
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+# DuckDB mirror of operators/dedup.py::normalized_text ('g' flag: DuckDB
+# regexp_replace is first-match-only by default, Spark replaces all).
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# ---------------------------------------------------------------------------
+# dedup: exact (oracle), minhash+LSH (rows-only), simhash (rows-only),
+#        n-gram jaccard (oracle), embedding-cosine (oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    sql=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT md5({_NORM}) AS digest,
+           min(doc_id)  AS keep_id,
+           count(*)     AS n_dups
+    FROM corpus GROUP BY 1
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(normalized text) group-by keeping the lowest
+    id. The corpus plants duplicates (every 17th doc re-appears under
+    a shifted id) so the detector provably fires. Shuffles digests,
+    not documents."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_dedup(d.unionByName(planted))
+
+
+@query("dedup_minhash_lsh", sql=None, tags=("dedup", "extension", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms)+LSH(8 bands) near-dup candidates over the
+    planted-duplicate corpus. xxhash64 has no DuckDB twin → rows-only
+    driver check; pair-level correctness is pytest-asserted (planted
+    dups MUST surface as candidates sharing all 8 bands)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return minhash_lsh_candidates(d.unionByName(planted))
+
+
+@query("dedup_simhash", sql=None, tags=("dedup", "extension"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dups (Hamming ≤ 3) via 16-bit band buckets over
+    the planted-duplicate corpus; exact popcount verification on
+    candidates. Rows-only (xxhash64); planted dups pytest-asserted at
+    Hamming 0."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return simhash_near_dups(d.unionByName(planted))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id AS id, source AS block,
+               list_distinct({_TOKS}) AS toks
+        FROM documents
+    ),
+    sized AS (SELECT id, block, toks, len(toks) AS n_toks FROM base),
+    tok AS (SELECT id, block, n_toks, unnest(toks) AS tok FROM sized),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+        FROM tok a JOIN tok b
+          ON a.block = b.block AND a.tok = b.tok
+         AND a.id < b.id AND b.id - a.id <= 60
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (na.n_toks + nb.n_toks - i.n_inter), 4) AS jaccard
+    FROM inter i
+    JOIN sized na ON na.id = i.id_a
+    JOIN sized nb ON nb.id = i.id_b
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard on blocked candidate pairs (same
+    source, id gap ≤ 60) — the verification stage behind a banding
+    pass. Pure set algebra: one explode, one equi-join on
+    (block, token), inclusion–exclusion for the union."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, blocking=F.col("source"), max_id_gap=60)
+
+
+@query(
+    "dedup_embedding_cosine",
+    sql="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.30
+    """,
+    tags=("dedup", "extension", "vector"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a label bucket
+    (threshold 0.30, fixture-tuned: synthetic max ≈ 0.47). Cosine is
+    pure-Column JVM math; filter compares the rounded value so the
+    boundary is engine-stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, bucket=F.col("label"), threshold=0.30)
+
+
+# ---------------------------------------------------------------------------
+# similarity search: brute-force top-k (oracle) + bucketed scale path (oracle)
+# ---------------------------------------------------------------------------
+
+_ANN_Q = """
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+@query(
+    "ann_bruteforce_topk",
+    sql=f"""
+    WITH q AS ({_ANN_Q}),
+    c AS (SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               round(list_cosine_similarity(q.qv, c.cv), 4) AS cos_sim
+        FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("ann", "extension", "vector", "bench"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: broadcast query set (every 50th
+    vector) over the corpus; ranking on rounded cosine + id tiebreak
+    for engine-stable order. The exactness baseline for ANN."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+@query(
+    "ann_lsh_bucketed_topk",
+    sql=f"""
+    WITH b AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               concat(
+                   CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                   CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END
+               ) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qv, c.v), 4) AS cos_sim
+        FROM b c JOIN q ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("ann", "extension", "vector"),
+)
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-5 (the scale path): sign-bit bucket over the
+    first 6 components (axis-aligned hyperplanes, nprobe=1) — each
+    query scores only its own bucket, cutting pairs ~64×."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return bucketed_topk(
+        e,
+        e.filter(F.col("vec_id") % 50 == 0),
+        bucket=sign_bucket(F.col("embedding"), 6),
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: quality, lang-id, token stats, fingerprints (all oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality_scores",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               CAST(len(list_filter(toks,
+                    x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                    AS DOUBLE) / greatest(len(toks), 1) AS sw,
+               CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                    AS DOUBLE) / greatest(len(toks), 1) AS mt
+        FROM t
+    )
+    SELECT doc_id,
+           round(least(n / 50.0, 1.0) * 40
+                 + CASE WHEN sw >= 0.03 AND sw <= 0.40 THEN 30.0 ELSE 10.0 END
+                 + CASE WHEN mt >= 3.0 AND mt <= 8.0 THEN 30.0 ELSE 10.0 END,
+                 4) AS quality
+    FROM m
+    """,
+    tags=("text", "extension"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length saturation + stopword
+    band + mean-token-length band) — the classic corpus-filter
+    recipe, all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_lang_id",
+    sql=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(toks, x -> list_contains(['the','a','is'], x)))
+                    AS DOUBLE) / greatest(len(toks), 1) AS r
+        FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN r >= 0.08 THEN 'en'
+                WHEN r >= 0.03 THEN 'en-like'
+                ELSE 'und' END AS predicted_lang
+    FROM m
+    """,
+    tags=("text", "extension"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic next to the dataset label.
+    The synthetic corpus shares one vocabulary across langs, so the
+    discriminator is deliberately crude; a real n-gram profile slots
+    in behind the same Column interface."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.lang_id_heuristic(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_token_stats",
+    sql=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks,
+                x -> CAST(ceil(length(x) / 4.0) AS BIGINT)), 'sum') AS BIGINT)
+               AS n_subwords,
+           n_chars
+    FROM t
+    """,
+    tags=("text", "extension"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate
+    (ceil(len/4) pieces per token) beside the dataset's n_chars."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.subword_count(F.col("text")).alias("n_subwords"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_fingerprints",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(norm) AS fp_md5,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks,
+                       x -> CAST(ascii(x) * 31 + length(x) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000007
+           ) AS fp_rolling
+    FROM t
+    """,
+    tags=("text", "extension"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 content digest + order-sensitive
+    rolling polynomial hash over tokens (integer arithmetic → exact
+    cross-engine parity)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        tx.fingerprint_rolling(F.col("text")).alias("fp_rolling"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary blobs + mapInPandas decode / frame-sampling (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query("mm_decode_features", sql=None, tags=("multimodal", "extension", "udf"))
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: documents as binary blobs with typed
+    metadata, pushed through an Arrow mapInPandas kernel producing
+    (checksum, mean_byte, dims). Decode is a deterministic fake (no
+    codecs in this container — operators/multimodal.py); the Spark
+    plumbing is real. Checksum parity with md5(text) pytest-asserted."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_fake_blobs(d))
+
+
+@query("mm_frame_sample", sql=None, tags=("multimodal", "extension", "udf"))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: each blob split into 4 byte-range
+    'frames', one row per frame (mapInPandas flat-map — output
+    cardinality ≠ input)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_fake_blobs(d), n_frames=4)
