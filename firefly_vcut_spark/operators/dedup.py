@@ -78,7 +78,12 @@ def minhash_lsh_candidates(
     of their MinHash signature. Returns (id_a, id_b, n_shared_bands),
     id_a < id_b. The only shuffle is on band buckets."""
     rows_per_band = num_hashes // bands
-    sig = docs.select(
+    # signature computation is CPU-heavy per row (num_hashes × shingles
+    # hash evals); repartition so a small single-file input doesn't
+    # serialize it on one core
+    sig = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(id_col).alias("id"),
         minhash_signature(word_shingles(F.col(text_col)), num_hashes).alias("sig"),
     )
@@ -122,7 +127,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """64-bit SimHash per document: tokens hashed with xxhash64, each
     bitplane summed ±1, sign → bit. All map-side until one agg shuffle
     on the doc id."""
-    toks = docs.select(
+    toks = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

@@ -148,6 +148,12 @@ def fuzzy_occurrence_scan(
     if not ks:
         raise ValueError("no matchable songs: all lyrics null/empty")
     windows = assemble_windows(segments, ks, id_col)
+    # Scoring is CPU-bound, not size-bound: AQE coalesces the tiny
+    # window shuffle (<1 MB) to one partition, which would serialize
+    # the levenshtein fan-out on one core. Explicit repartition keeps
+    # the expensive stage at full parallelism (AQE respects
+    # user-specified partition counts).
+    windows = windows.repartition(segments.sparkSession.sparkContext.defaultParallelism)
     scored = windows.join(F.broadcast(sg), "k").withColumn(
         "score", scorer(F.col(lyrics_col), F.col("wtext"))
     )

@@ -64,6 +64,8 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.flagship  # noqa: F401
     import firefly_vcut_spark.plans.statemachine  # noqa: F401
     import firefly_vcut_spark.plans.extensions  # noqa: F401
+    import firefly_vcut_spark.plans.windows_sql  # noqa: F401
+    import firefly_vcut_spark.plans.sources_sql  # noqa: F401
 
 
 def all_queries() -> dict[str, Query]:

@@ -1,0 +1,111 @@
+"""Event-time window queries over the events table — the batch twins
+of the streaming aggregations (tumbling, hopping, session windows),
+each with a DuckDB oracle (time_bucket / gaps-and-islands)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+from firefly_vcut_spark.streaming.incremental import windowed_event_counts
+
+
+@query(
+    "w_tumbling_counts",
+    sql="""
+    SELECT strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "streaming", "agg"),
+)
+def w_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (1 day) per event_type — the same
+    transformation the streaming path runs with a watermark
+    (streaming/incremental.py::windowed_event_counts runs on both)."""
+    return windowed_event_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "w_hopping_counts",
+    sql="""
+    WITH hops AS (
+        SELECT event_type, value,
+               UNNEST([
+                   time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)),
+                   time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP))
+                       - INTERVAL '12 hours'
+               ]) AS window_start
+        FROM events
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n
+    FROM hops GROUP BY 1, 2
+    """,
+    tags=("window", "streaming", "agg"),
+)
+def w_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (1 day long, 12 h slide): every event lands in
+    two windows; Spark's window() emits both, the oracle reconstructs
+    them as the two enclosing 12 h-aligned starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "w_session_windows",
+    sql="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '8 hours'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "streaming", "agg", "session"),
+)
+def w_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (8 h gap) per user via the built-in
+    session_window — state-merging windows on batch AND streaming; the
+    oracle derives identical sessions with gaps-and-islands."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "8 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+            "total_value",
+        )
+    )

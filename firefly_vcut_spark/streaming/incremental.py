@@ -1,0 +1,129 @@
+"""Structured Streaming wrappers.
+
+The reference is batch-incremental (daily cron + watermark anchors +
+idempotent upserts — SURVEY.md §2.9): its streaming analog is a
+``Trigger.AvailableNow`` pass over newly-landed files, which is what
+``run_available_now`` provides. On top of that, the event-time
+operators a always-on deployment would add: watermarked tumbling
+windows and a custom stateful running aggregate via
+``applyInPandasWithState``.
+
+Scale notes: file-source streaming scales by listing partitions, not
+files (maxFilesPerTrigger bounds a micro-batch); state-store size for
+the stateful op is O(groups), and the watermark bounds window state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from firefly_vcut_spark.sources.catalog import _EVENTS_RAW, table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ns-timestamp read
+    via the same raw-nanos conversion as the batch catalog)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type: the
+    late-data-tolerant aggregation shape. Works identically on batch
+    and streaming DataFrames."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, output_mode: str = "complete"
+) -> list:
+    """Drain everything currently available (the Trigger.AvailableNow
+    analog of the reference's daily batch), collecting via a memory
+    sink; returns the result rows."""
+    name = "available_now_sink"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name).collect()
+
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+RUNNING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count + value total, emitting the updated state each
+    micro-batch. The custom-stateful plumbing point for operators the
+    built-ins can't express (per-key model state, cross-batch
+    sessionization variants)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,47 @@
+"""Streaming: AvailableNow drain must equal the batch twin; the
+custom stateful operator must equal a batch groupBy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.sources.catalog import load_table
+from firefly_vcut_spark.streaming.incremental import (
+    read_events_stream,
+    run_available_now,
+    running_user_totals,
+    windowed_event_counts,
+)
+
+
+def test_available_now_equals_batch(spark, sf_dir, tmp_path):
+    stream = windowed_event_counts(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, str(tmp_path / "ckpt"))
+    batch = windowed_event_counts(load_table(spark, sf_dir, "events")).collect()
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len({key(r) for r in got}) == len(got)
+
+
+def test_stateful_running_totals_equals_batch(spark, sf_dir, tmp_path):
+    stream = running_user_totals(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, str(tmp_path / "ckpt2"), output_mode="update")
+    # update mode may emit a row per micro-batch per user; the LAST
+    # emission per user is the final running total.
+    final = {}
+    for r in got:
+        final[r.user_id] = (r.n_events, r.total_value)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("tv"),
+        )
+        .collect()
+    )
+    assert len(batch) == len(final)
+    for r in batch:
+        n, tv = final[r.user_id]
+        assert n == r.n
+        assert abs(tv - r.tv) < 1e-6
