@@ -257,7 +257,7 @@ def embedding_near_dups(
         F.col(id_col).alias("id"),
         bucket.alias("bucket"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     a, b = base.alias("a"), base.alias("b")
     cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
     return (

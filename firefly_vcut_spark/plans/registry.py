@@ -49,8 +49,20 @@ def query(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver executes queries under ITS session; pin the
+            # session semantics oracle parity depends on (UTC tz for
+            # unix_timestamp / date_format) before building the plan
+            from firefly_vcut_spark.session import tune_for_oracle
+
+            tune_for_oracle(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__name__ = fn.__name__
         _REGISTRY[name] = Query(
-            name=name, fn=fn, sql=sql, tags=tuple(tags), doc=(fn.__doc__ or "").strip()
+            name=name, fn=wrapped, sql=sql, tags=tuple(tags), doc=(fn.__doc__ or "").strip()
         )
         return fn
 
@@ -66,6 +78,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.extensions  # noqa: F401
     import firefly_vcut_spark.plans.windows_sql  # noqa: F401
     import firefly_vcut_spark.plans.sources_sql  # noqa: F401
+    import firefly_vcut_spark.plans.relational2  # noqa: F401
 
 
 def all_queries() -> dict[str, Query]:
