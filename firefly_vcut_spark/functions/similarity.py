@@ -32,6 +32,22 @@ def levenshtein_sum_ratio(a: Column, b: Column) -> Column:
     return 100.0 * (1.0 - F.levenshtein(a, b) / denom)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
+def _char_masks(a: str) -> dict[str, int]:
+    """Position bitmasks of each character of ``a``. Cached: in the
+    fuzzy scan one lyrics string scores against thousands of windows,
+    so the mask table amortizes to once per distinct needle."""
+    masks: dict[str, int] = {}
+    bit = 1
+    for ch in a:
+        masks[ch] = masks.get(ch, 0) | bit
+        bit <<= 1
+    return masks
+
+
 def lcs_length(a: str, b: str) -> int:
     """Longest-common-subsequence length, bit-parallel.
 
@@ -40,12 +56,7 @@ def lcs_length(a: str, b: str) -> int:
     """
     if not a or not b:
         return 0
-    # position bitmasks of each character of a
-    masks: dict[str, int] = {}
-    bit = 1
-    for ch in a:
-        masks[ch] = masks.get(ch, 0) | bit
-        bit <<= 1
+    masks = _char_masks(a)
     row = 0
     for ch in b:
         x = row | masks.get(ch, 0)

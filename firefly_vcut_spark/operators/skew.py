@@ -1,0 +1,68 @@
+"""Skew- and shuffle-management utilities for the 100 TB posture.
+
+AQE's skew-join splitting handles most cases at runtime; these cover
+the two patterns AQE cannot fix:
+
+- ``salted_aggregate`` — a hot GROUP BY key (one vtuber's million
+  recordings, one song's candidate flood) overloads a single reducer.
+  Two-phase aggregation over a salted key spreads the hot key across
+  ``salt`` reducers, then merges the partials. Correct for any
+  algebraic aggregate (the caller provides partial + merge exprs).
+- ``salted_broadcast_left`` — a skewed fact side joining a *small*
+  dim should be a broadcast join (no shuffle of the skewed side at
+  all); the helper exists to make the choice explicit and assert the
+  dim is actually broadcastable.
+
+Bucketed co-located joins (two big tables repeatedly joined on the
+same key) are storage-layout work, not an operator: see
+tests/test_scale.py::test_bucketed_join_avoids_shuffle for the
+bucketBy write + shuffle-free sort-merge join recipe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed group keys.
+
+    Phase 1 groups by (keys…, salt) computing ``partial_aggs``;
+    phase 2 groups by keys merging with ``merge_aggs`` (referring to
+    the phase-1 output columns). Example::
+
+        salted_aggregate(
+            df, ["song_id"],
+            partial_aggs={"c": F.count(F.lit(1)), "s": F.sum("score")},
+            merge_aggs={"n": F.sum("c"), "total": F.sum("s")},
+        )
+    """
+    salted = df.withColumn(
+        "_salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt
+    )
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[c.alias(n) for n, c in partial_aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(*[c.alias(n) for n, c in merge_aggs.items()])
+
+
+def salted_broadcast_left(fact: DataFrame, dim: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Join a (possibly skewed) fact to a small dim without shuffling
+    the fact side: explicit broadcast of the dim. Raises early if the
+    dim is implausibly large to broadcast (> 10M rows)."""
+    n = dim.count()
+    if n > 10_000_000:
+        raise ValueError(
+            f"dim has {n} rows; too large to broadcast — bucket or let "
+            "AQE skew-split a shuffle join instead"
+        )
+    return fact.join(F.broadcast(dim), list(on), "left")

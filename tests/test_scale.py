@@ -1,0 +1,78 @@
+"""Scale-technique recipes proven executable: salted aggregation
+equals plain aggregation; bucketed tables join WITHOUT an exchange;
+AQE skew-join config is live in the session factory."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.operators.skew import salted_aggregate, salted_broadcast_left
+from firefly_vcut_spark.sources.catalog import load_table
+
+
+def test_salted_aggregate_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag): (r.n, round(r.s, 4))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (r.n, round(r.total, 4))
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag"],
+            partial_aggs={"c": F.count(F.lit(1)), "q": F.sum("l_quantity")},
+            merge_aggs={"n": F.sum("c"), "total": F.round(F.sum("q"), 4)},
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_left_no_fact_shuffle(spark, sf_dir):
+    fact = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    out = salted_broadcast_left(fact, dim, ["l_suppkey"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # fact never shuffles
+    assert out.count() == fact.count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """The co-located-join recipe for two big tables repeatedly joined
+    on one key: bucketBy the same key/count on both sides → sort-merge
+    join with ZERO Exchange operators."""
+    # tables land in the default ./spark-warehouse (gitignored) —
+    # spark.sql.warehouse.dir is a static conf and can't be redirected
+    # per-test; dropped in finally
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("orders_b")
+        )
+        (
+            li.withColumnRenamed("l_orderkey", "o_orderkey")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("lineitem_b")
+        )
+        j = spark.table("lineitem_b").join(spark.table("orders_b"), "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_session_factory_scale_conf(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
