@@ -99,3 +99,75 @@ def bucketed_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF top-k with learned cells: KMeans (Spark ML) trains the
+    coarse quantizer; every corpus vector is assigned to its cell;
+    each query probes its ``nprobe`` nearest centroids and scores only
+    those cells' members. The real inverted-file layout: at 100 TB the
+    assignment is a write-time partition column and a probe reads
+    nprobe/n_cells of the data.
+
+    Deterministic for a fixed seed; not SQL-expressible (learned
+    centroids) → rows-only for the driver, recall-vs-brute-force
+    asserted in pytest."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dp = corpus.sparkSession.sparkContext.defaultParallelism
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).repartition(dp)
+    ml_input = base.select("neighbor_id", array_to_vector("cv").alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(ml_input)
+    centers = [
+        (int(cell), [float(x) for x in center])
+        for cell, center in enumerate(model.clusterCenters())
+    ]
+    centers_df = corpus.sparkSession.createDataFrame(
+        centers, "cell int, center array<double>"
+    )
+
+    assigned = model.transform(ml_input).select(
+        "neighbor_id", F.col("prediction").alias("cell")
+    )
+    c = base.join(assigned, "neighbor_id")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    # each query → its nprobe nearest cells (centroid table is tiny)
+    q_cells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("c_dist", -cosine(F.col("qv"), F.col("center")))
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("c_dist"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("c_rank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        c.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 
 from firefly_vcut_spark.functions.vectors import sign_bucket
 from firefly_vcut_spark.operators import text as tx
-from firefly_vcut_spark.operators.ann import brute_force_topk, bucketed_topk
+from firefly_vcut_spark.operators.ann import (
+    brute_force_topk,
+    bucketed_topk,
+    ivf_kmeans_topk,
+)
 from firefly_vcut_spark.operators.dedup import (
     embedding_near_dups,
     exact_dedup,
@@ -237,6 +241,17 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=sign_bucket(F.col("embedding"), 6),
         k=5,
     )
+
+
+@query("ann_ivf_kmeans_topk", sql=None, tags=("ann", "extension", "vector", "ml"))
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with a learned coarse quantizer: Spark ML KMeans
+    (16 cells, fixed seed) trains the inverted-file layout; queries
+    probe their 2 nearest centroids only. Learned centroids aren't
+    SQL-expressible → rows-only for the driver; recall vs brute force
+    asserted in pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_kmeans_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
 
 
 # ---------------------------------------------------------------------------

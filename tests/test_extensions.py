@@ -46,6 +46,31 @@ def test_simhash_finds_planted_at_hamming_zero(spark, sf_dir):
     assert {(p, p + 1000000) for p in planted} <= zero
 
 
+def test_minhash_signature_paths_agree(spark, sf_dir):
+    """The per-row HOF signature (minhash_signature) and the operator's
+    exploded flat-column path must produce identical signatures — they
+    share the (seed, shingle) hash family by construction."""
+    from pyspark.sql import functions as F
+
+    from firefly_vcut_spark.operators.dedup import minhash_signature, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    hof = {
+        r.doc_id: list(r.sig)
+        for r in docs.select(
+            "doc_id", minhash_signature(word_shingles(F.col("text")), 32).alias("sig")
+        ).collect()
+    }
+    ex = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("sh"))
+    flat = ex.select(
+        "doc_id", *[F.xxhash64(F.lit(i), "sh").alias(f"h{i}") for i in range(32)]
+    ).groupBy("doc_id").agg(
+        F.array(*[F.min(f"h{i}") for i in range(32)]).alias("sig")
+    )
+    exploded = {r.doc_id: list(r.sig) for r in flat.collect()}
+    assert hof == exploded
+
+
 def test_mm_checksum_matches_hashlib(spark, sf_dir):
     docs = {
         r.doc_id: r.text
@@ -65,6 +90,24 @@ def test_mm_frame_sample_shapes(spark, sf_dir):
     assert all(r["count"] == 4 for r in per_doc)
     total_bytes = frames.agg(F.sum("frame_bytes")).collect()[0][0]
     assert total_bytes > 0
+
+
+def test_ann_ivf_kmeans_recall(spark, sf_dir):
+    """IVF(nprobe=2/16 cells) must agree with brute force on scored
+    pairs and reach reasonable recall@5 — clustered probing finds most
+    true neighbors on this data."""
+    bf = {}
+    for r in QS["ann_bruteforce_topk"].fn(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, {})[r.neighbor_id] = r.cos_sim
+    ivf_rows = QS["ann_ivf_kmeans_topk"].fn(spark, sf_dir).collect()
+    assert ivf_rows
+    hits = total = 0
+    for r in ivf_rows:
+        if r.neighbor_id in bf.get(r.query_id, {}):
+            assert bf[r.query_id][r.neighbor_id] == r.cos_sim
+            hits += 1
+        total += 1
+    assert hits / total >= 0.3, f"recall@5 too low: {hits}/{total}"
 
 
 def test_ann_bucketed_is_subset_of_bruteforce_space(spark, sf_dir):
