@@ -189,6 +189,83 @@ def p10_pair_anti_join_before_scan(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# extended-surface aggregates: rollup + distinct-count (exact & sketch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup_orders",
+    sql="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 4)      AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → priority → grand total) —
+    the §2.4 'not present in reference, built-in if wanted' row,
+    provided for the extended surface. Partial-aggregates each
+    grouping set map-side."""
+    from firefly_vcut_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "agg_distinct_users_daily",
+    sql="""
+    SELECT strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per day (the expensive baseline a sketch
+    replaces; Catalyst expands to a two-stage partial-distinct agg)."""
+    from firefly_vcut_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query("agg_hll_distinct_users", sql=None, tags=("agg", "distinct", "sketch"))
+def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per day (1% rsd) — the
+    mergeable-sketch scale path (one pass, fixed memory per group, no
+    distinct shuffle). Engine algorithms differ across systems →
+    rows-only; relative error vs the exact count asserted in pytest."""
+    from firefly_vcut_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd").alias("day"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+    )
+
+
 @query(
     "f11_chunk_ranges",
     sql=fx.with_fixtures(

@@ -123,3 +123,17 @@ def test_ann_bucketed_is_subset_of_bruteforce_space(spark, sf_dir):
     for r in bk:
         if (r.query_id, r.neighbor_id) in bf:
             assert bf[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_hll_sketch_error_bound(spark, sf_dir):
+    exact = {
+        r.day: r.n_users
+        for r in QS["agg_distinct_users_daily"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.day: r.n_users_approx
+        for r in QS["agg_hll_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(3, 0.1 * n), (day, n, approx[day])
