@@ -77,6 +77,22 @@ def cmd_sync_occurrences(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_backfill(args: argparse.Namespace) -> int:
+    from firefly_vcut_spark.pipeline import Warehouse, backfill_occurrences
+    from firefly_vcut_spark.sources import fixtures as fx
+
+    spark = _spark()
+    wh = Warehouse(spark, args.warehouse)
+    if not wh.exists("transcripts"):
+        print("no transcripts in warehouse; run `tick` first", file=sys.stderr)
+        return 2
+    n = backfill_occurrences(
+        wh, fx.songs(spark, args.sf_dir), args.song_id, args.latest
+    )
+    print(json.dumps({"backfilled": n, "song_id": args.song_id}))
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
@@ -120,6 +136,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--threshold", type=float, default=40.0)
     s.add_argument("-n", "--dry-run", action="store_true")
     s.set_defaults(fn=cmd_sync_occurrences)
+
+    bf = sub.add_parser(
+        "backfill", help="re-scan latest N transcripts for one song (force update)"
+    )
+    bf.add_argument("--warehouse", required=True)
+    bf.add_argument("--song-id", type=int, required=True)
+    bf.add_argument("--latest", type=int, default=20)
+    bf.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    bf.set_defaults(fn=cmd_backfill)
 
     q = sub.add_parser("search", help="fuzzy-probe one transcript")
     q.add_argument("--doc-id", type=int, required=True)

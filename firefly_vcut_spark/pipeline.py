@@ -257,6 +257,42 @@ def stage_occurrences(wh: Warehouse, songs: DataFrame) -> int:
     return found.count()
 
 
+def backfill_occurrences(
+    wh: Warehouse,
+    songs: DataFrame,
+    song_id: int,
+    latest_n: int = 20,
+) -> int:
+    """Backfill: re-scan the latest N transcribed archives for ONE
+    song, overwriting any existing occurrence rows (the reference's
+    out-of-order/late-data handler — modal/occurrence.py:13-68: a new
+    song or fixed lyrics re-scans history; selector-present ⇒ force
+    update, cmdline.py:268). Ignores last_song_occurrence_scan marks
+    by design."""
+    archives = wh.read("archives")
+    target_songs = songs.filter(F.col("song_id") == song_id)
+    latest = (
+        archives.filter(F.col("transcript_object_key").isNotNull())
+        .orderBy(F.desc("pubdate"), F.asc("id"))
+        .limit(latest_n)
+        .select(F.col("id").alias("archive_id"))
+    )
+    segments = wh.read("transcripts").join(F.broadcast(latest), "archive_id")
+    if segments.isEmpty():
+        return 0
+    found = fuzzy_occurrence_scan(segments, target_songs, id_col="archive_id").select(
+        "song_id", "archive_id", "start", "page"
+    )
+    if wh.exists("occurrences"):
+        merged = upsert_last_wins(
+            wh.read("occurrences"), found, keys=("song_id", "archive_id")
+        )
+    else:
+        merged = found
+    wh.write("occurrences", merged)
+    return found.count()
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,

@@ -75,6 +75,31 @@ def test_pipeline_tick_advances_state_machine(spark, sf_dir, tmp_path):
     assert wh0_counts is not None
 
 
+def test_backfill_ignores_scan_marks_and_upserts(spark, sf_dir, tmp_path):
+    """Backfill re-scans already-scanned archives for one song (force
+    update) and only touches that song's rows."""
+    from pyspark.sql import functions as F
+
+    from firefly_vcut_spark.pipeline import backfill_occurrences
+
+    root = str(tmp_path / "whbf")
+    run_pipeline(spark, sf_dir, root)
+    wh = Warehouse(spark, root)
+    occ = wh.read("occurrences")
+    song_id = occ.select("song_id").first().song_id
+    before_other = occ.filter(F.col("song_id") != song_id).count()
+
+    n = backfill_occurrences(wh, fx.songs(spark, sf_dir), song_id, latest_n=50)
+    assert n > 0  # rescans despite last_song_occurrence_scan being set
+    wh2 = Warehouse(spark, root)
+    after = wh2.read("occurrences")
+    assert after.filter(F.col("song_id") != song_id).count() == before_other
+    # idempotent: backfilling again changes nothing
+    n2 = backfill_occurrences(wh2, fx.songs(spark, sf_dir), song_id, latest_n=50)
+    assert n2 == n
+    assert Warehouse(spark, root).read("occurrences").count() == after.count()
+
+
 def test_transcribe_kernel_matches_segment_fixture(spark, sf_dir, tmp_path):
     """The U1 stub must produce the same segmentation as the segments
     fixture for archives whose payload doc is a transcript doc."""

@@ -23,6 +23,34 @@ def test_available_now_equals_batch(spark, sf_dir, tmp_path):
     assert len({key(r) for r in got}) == len(got)
 
 
+def test_available_now_checkpoint_resume_is_idempotent(spark, sf_dir, tmp_path):
+    """Exactly-once file-source semantics: a second AvailableNow run
+    over the SAME checkpoint sees no new files and emits nothing new
+    (the re-runnable daily-cron property, now with stream state)."""
+    ckpt = str(tmp_path / "ckpt_resume")
+    out = str(tmp_path / "out_parquet")
+    stream = windowed_event_counts(read_events_stream(spark, sf_dir))
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # append mode only emits finalized windows; with a static file and
+    # watermark the emitted set must not grow on re-run
+    drain()
+    n1 = spark.read.parquet(out).count()
+    drain()
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1
+
+
 def test_stateful_running_totals_equals_batch(spark, sf_dir, tmp_path):
     stream = running_user_totals(read_events_stream(spark, sf_dir))
     got = run_available_now(stream, str(tmp_path / "ckpt2"), output_mode="update")
