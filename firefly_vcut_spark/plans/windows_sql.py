@@ -67,6 +67,40 @@ def w_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w_hypertable_rollup",
+    sql="""
+    WITH rollup AS (
+        SELECT strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d') AS day,
+               event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        FROM events
+        WHERE CAST(ts AS DATE) < DATE '2024-01-20'
+        GROUP BY 1, 2
+    ),
+    tail AS (
+        SELECT strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d') AS day,
+               event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '2024-01-20'
+        GROUP BY 1, 2
+    )
+    SELECT * FROM rollup UNION ALL SELECT * FROM tail
+    """,
+    tags=("window", "rollup", "agg"),
+)
+def w_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous aggregate: frozen daily rollup below the
+    2024-01-20 watermark + raw tail re-aggregated at query time, one
+    seamless series (operators/rollup.py — at scale the rollup is a
+    stored table and only the bounded tail is scanned raw)."""
+    from firefly_vcut_spark.operators.rollup import continuous_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return continuous_aggregate(ev, "2024-01-20")
+
+
+@query(
     "w_session_windows",
     sql="""
     WITH marked AS (

@@ -73,3 +73,24 @@ def test_stateful_running_totals_equals_batch(spark, sf_dir, tmp_path):
         n, tv = final[r.user_id]
         assert n == r.n
         assert abs(tv - r.tv) < 1e-6
+
+
+def test_continuous_aggregate_equals_full_rollup(spark, sf_dir):
+    """Rollup-plus-tail must equal aggregating everything raw, and
+    must honor a pre-stored rollup snapshot (history never rescanned)."""
+    from firefly_vcut_spark.operators.rollup import continuous_aggregate, daily_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    full = {(r.day, r.event_type): (r.n, r.total_value) for r in daily_rollup(ev).collect()}
+    merged = {
+        (r.day, r.event_type): (r.n, r.total_value)
+        for r in continuous_aggregate(ev, "2024-01-20").collect()
+    }
+    assert merged == full
+    # with a stored snapshot: same result without touching history raw
+    snapshot = daily_rollup(ev.filter("CAST(ts AS DATE) < DATE '2024-01-20'"))
+    merged2 = {
+        (r.day, r.event_type): (r.n, r.total_value)
+        for r in continuous_aggregate(ev, "2024-01-20", rollup=snapshot).collect()
+    }
+    assert merged2 == full
