@@ -83,6 +83,63 @@ def q14_conditional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot_status_by_priority",
+    sql="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH')   AS p2_high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW')    AS p5_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "pivot", "analytics"),
+)
+def agg_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts cross-tabbed status × priority. Spark's
+    groupBy().pivot() with an explicit value list (no extra
+    distinct-values job, stable output schema); the oracle states the
+    same as FILTERed aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    labels = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aliases = ["p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low"]
+    pv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", labels)
+        .agg(F.count(F.lit(1)))
+    )
+    out = pv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{l}`"), F.lit(0)).alias(a) for l, a in zip(labels, aliases)],
+    )
+    return out
+
+
+@query(
+    "agg_value_percentiles",
+    sql="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.90), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "percentile", "analytics"),
+)
+def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type — Spark's
+    percentile() and DuckDB's quantile_cont share the linear-
+    interpolation definition. (At 100 TB swap in approx_percentile:
+    mergeable sketches, no per-group sort.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
     "q15_top_suppliers",
     sql="""
     WITH rev AS (
