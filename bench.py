@@ -4,7 +4,10 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is timed over a full execution (collect-less: count() on
-the result so every operator runs but driver transfer stays flat).
+the result so every operator runs but driver transfer stays flat),
+best-of-$SPARK_GRAFT_BENCH_REPS (default 3) — the min is the
+steady-state cost; the spread is host-VM scheduling noise, which on a
+shared hypervisor can inflate a single sample 2-3x.
 """
 
 from __future__ import annotations
@@ -40,11 +43,15 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces errors
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in bench_names:
-        t0 = time.perf_counter()
-        qs[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from firefly_vcut_spark.functions.vectors import cosine
+from firefly_vcut_spark.functions.vectors import cosine, dot, norm
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -48,22 +48,29 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set over the
-    corpus; one shuffle on query_id for the per-query rank."""
+    corpus; one shuffle on query_id for the per-query rank. Norms are
+    precomputed once per ROW (not per pair) — same arithmetic as
+    dot/(|a|·|b|), so DuckDB hash parity holds, at a third of the
+    per-pair HOF work."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism).withColumn(
+        "cn", norm(F.col("cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
         )
     )
     return _ranked_topk(scored, k)
@@ -83,19 +90,23 @@ def bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         bucket.alias("bucket"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism).withColumn(
+        "cn", norm(F.col("cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         bucket.alias("bucket"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
         )
     )
     return _ranked_topk(scored, k)
@@ -142,12 +153,12 @@ def ivf_kmeans_topk(
     assigned = model.transform(ml_input).select(
         "neighbor_id", F.col("prediction").alias("cell")
     )
-    c = base.join(assigned, "neighbor_id")
+    c = base.join(assigned, "neighbor_id").withColumn("cn", norm(F.col("cv")))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     # each query → its nprobe nearest cells (centroid table is tiny)
     q_cells = (
         q.crossJoin(F.broadcast(centers_df))
@@ -159,7 +170,7 @@ def ivf_kmeans_topk(
             ),
         )
         .filter(F.col("c_rank") <= nprobe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
     scored = (
         c.join(F.broadcast(q_cells), "cell")
@@ -167,7 +178,9 @@ def ivf_kmeans_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
         )
     )
     return _ranked_topk(scored, k)

@@ -522,14 +522,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style join+agg+top-k: the multi-join throughput probe
-    for bench.py. Customer dim filtered then broadcast; lineitem
-    aggregates after one shuffle on l_orderkey."""
+    for bench.py. Join order is dimension-first: the segment-filtered
+    customer broadcasts into orders, shrinking it ~5x BEFORE lineitem
+    joins it — AQE then broadcasts the shrunk orders side at bench
+    scale (no fact-table shuffle at all), and at 100 TB the same plan
+    degrades gracefully to one shuffle of the pre-filtered join."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    o_f = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # Hint the SHRUNK side: without it Catalyst's static size estimate
+    # broadcasts the 3-column lineitem scan (fact side) — fine at sf0.1,
+    # an OOM at 100 TB. At cluster scale drop the hint and let AQE pick
+    # SMJ vs broadcast from runtime sizes.
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(o_f), li.l_orderkey == o_f.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
