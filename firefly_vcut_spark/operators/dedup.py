@@ -56,6 +56,34 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+# Portable hash family: integer arithmetic reproducible in any ANSI-SQL
+# engine (used by the oracle-checked minhash variant; the default engine
+# path keeps xxhash64 — better mixing, one JVM intrinsic per hash).
+MINHASH_P = 1_000_000_007
+
+
+def perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a_i, b_i) for the
+    portable MinHash family h_i(x) = (a_i*x + b_i) mod P. a_i < P keeps
+    a_i*x < 2^60 — no int64 overflow in either engine."""
+    return [
+        ((2654435761 * (i + 1)) % MINHASH_P, (40503 * (i + 7)) % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
+def charfold_hash(s: Column) -> Column:
+    """Polynomial rolling hash over a string's characters, mod P.
+    Pure Column arithmetic — identical digits in Spark and DuckDB
+    (verified incl. unicode), unlike xxhash64/md5-to-int."""
+    chars = F.filter(F.split(s, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % MINHASH_P,
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: for seed i, min over shingles of
     xxhash64(i, shingle) — one pass, no shuffle, JVM hash."""
@@ -73,10 +101,16 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding: docs sharing any band
     of their MinHash signature. Returns (id_a, id_b, n_shared_bands),
-    id_a < id_b. The only shuffle is on band buckets."""
+    id_a < id_b. The only shuffle is on band buckets.
+
+    hash_mode "xxhash64" (default) is the engine path; "portable"
+    swaps in the affine family over a char-fold shingle hash — same
+    banding pipeline, integer arithmetic DuckDB can replay exactly,
+    so the LSH join/grouping logic gets a full oracle check."""
     rows_per_band = num_hashes // bands
     # Signature via explode + N flat hash columns + map-side MIN agg:
     # ~3× faster than the nested higher-order-function form
@@ -90,9 +124,40 @@ def minhash_lsh_candidates(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col))).alias("sh"),
     )
-    hashed = exploded.select(
-        "id", *[F.xxhash64(F.lit(i), "sh").alias(f"h{i}") for i in range(num_hashes)]
-    )
+    if hash_mode == "portable":
+        coeffs = perm_coeffs(num_hashes)
+        hashed = exploded.withColumn("shh", charfold_hash(F.col("sh"))).select(
+            "id",
+            *[
+                ((F.lit(a) * F.col("shh") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ],
+        )
+
+        def band_hash(b: Column) -> Column:
+            return F.aggregate(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * 131 + h) % MINHASH_P,
+            )
+
+    else:
+        hashed = exploded.select(
+            "id",
+            *[F.xxhash64(F.lit(i), "sh").alias(f"h{i}") for i in range(num_hashes)],
+        )
+
+        def band_hash(b: Column) -> Column:
+            return F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda h: h.cast("string"),
+                    ),
+                    ",",
+                )
+            )
+
     sig = hashed.groupBy("id").agg(
         F.array(*[F.min(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -102,16 +167,7 @@ def minhash_lsh_candidates(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda h: h.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("band_hash"),
+                    b.alias("band_id"), band_hash(b).alias("band_hash")
                 ),
             )
         ).alias("band"),

@@ -84,6 +84,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(d.unionByName(planted))
 
 
+def _minhash_portable_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """Generate the DuckDB twin of minhash_lsh_candidates(portable):
+    same shingling, charfold shingle hash, affine perms, band folds."""
+    from firefly_vcut_spark.operators.dedup import MINHASH_P, perm_coeffs
+
+    p = MINHASH_P
+    rpb = num_hashes // bands
+    charfold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_filter(string_split(s, ''), c -> c != ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % {p})"
+    )
+    sig_cols = ",\n               ".join(
+        f"min(({a} * h + {b}) % {p}) AS s{i}"
+        for i, (a, b) in enumerate(perm_coeffs(num_hashes))
+    )
+
+    def fold(cols: list[str]) -> str:
+        expr = "CAST(0 AS BIGINT)"
+        for c in cols:
+            expr = f"(({expr}) * 131 + {c}) % {p}"
+        return expr
+
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT id, {b} AS band_id, "
+        f"{fold([f's{b * rpb + j}' for j in range(rpb)])} AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+    ),
+    toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM corpus),
+    shingled AS (
+        SELECT id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - 3, 0) + 2),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')
+               )) AS shs
+        FROM toks
+    ),
+    sh AS (SELECT id, unnest(shs) AS s FROM shingled),
+    shh AS (SELECT id, {charfold} AS h FROM sh),
+    sig AS (SELECT id,
+               {sig_cols}
+            FROM shh GROUP BY id),
+    banded AS (
+        {band_selects}
+    )
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_bands
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "dedup_minhash_lsh_portable",
+    sql=_minhash_portable_sql(),
+    tags=("dedup", "extension", "lsh"),
+)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MinHash+LSH banding pipeline as dedup_minhash_lsh, run
+    with the portable affine-over-charfold hash family so DuckDB can
+    replay every intermediate exactly — a full oracle check of the
+    shingle → signature → band → bucket-join → pair-group logic (the
+    engine-default xxhash64 variant stays rows-only)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return minhash_lsh_candidates(d.unionByName(planted), hash_mode="portable")
+
+
 @query("dedup_simhash", sql=None, tags=("dedup", "extension"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dups (Hamming ≤ 3) via 16-bit band buckets over

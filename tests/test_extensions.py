@@ -39,6 +39,15 @@ def test_minhash_lsh_finds_planted(spark, sf_dir):
     assert {(p, p + 1000000) for p in planted} <= found
 
 
+def test_minhash_lsh_portable_finds_planted(spark, sf_dir):
+    """The portable-hash variant must surface the same planted dups —
+    identical texts have identical signatures under ANY hash family."""
+    planted = _planted_ids(spark, sf_dir)
+    pairs = QS["dedup_minhash_lsh_portable"].fn(spark, sf_dir).collect()
+    found = {(r.id_a, r.id_b) for r in pairs if r.n_shared_bands == 8}
+    assert {(p, p + 1000000) for p in planted} <= found
+
+
 def test_simhash_finds_planted_at_hamming_zero(spark, sf_dir):
     planted = _planted_ids(spark, sf_dir)
     pairs = QS["dedup_simhash"].fn(spark, sf_dir).collect()
