@@ -261,6 +261,98 @@ def simhash_near_dups(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def simhash_coeffs(n_bits: int = 64) -> list[tuple[int, int]]:
+    """Affine coefficients for the portable SimHash bitplanes (a
+    different stream than the MinHash perms)."""
+    return [
+        ((1779033703 * (j + 1)) % MINHASH_P, (2246822519 * (j + 3)) % MINHASH_P)
+        for j in range(n_bits)
+    ]
+
+
+def simhash_near_dups_portable(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """simhash_near_dups with a portable bitplane family: each token's
+    charfold hash h gives plane j the sign of ((a_j*h+b_j) mod P) -
+    P/2. The 64-bit signature is kept as FOUR 16-bit band ints (never
+    one 64-bit word — bit 63 would overflow signed int64 differently
+    across engines); hamming = sum of per-band popcount(xor). Same
+    banding/pigeonhole plan as the engine path, DuckDB-replayable."""
+    coeffs = simhash_coeffs(64)
+    half = MINHASH_P // 2
+    toks = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", charfold_hash(F.col("tok")))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P > half, 1)
+                .otherwise(-1)
+            ).alias(f"p{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
+    )
+    band_cols = [
+        sum(
+            (
+                F.when(F.col(f"p{k * 16 + j}") > 0, F.lit(1 << j))
+                .otherwise(F.lit(0))
+                .cast("long")
+                for j in range(16)
+            ),
+            F.lit(0).cast("long"),
+        ).alias(f"band{k}")
+        for k in range(4)
+    ]
+    sigs = bit_sums.select("id", *band_cols)
+    banded = sigs.select(
+        "id",
+        *[f"band{k}" for k in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.col(f"band{k}").alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", *[f"band{k}" for k in range(4)], "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.band{k}").alias(f"a{k}") for k in range(4)],
+            *[F.col(f"b.band{k}").alias(f"b{k}") for k in range(4)],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        (
+            F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"b{k}")))
+            for k in range(4)
+        ),
+        F.lit(0),
+    )
+    return cand.select(
+        "id_a", "id_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     blocking: Column,

@@ -24,6 +24,7 @@ from firefly_vcut_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_near_dups,
+    simhash_near_dups_portable,
 )
 from firefly_vcut_spark.operators.multimodal import (
     attach_fake_blobs,
@@ -158,6 +159,85 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     return minhash_lsh_candidates(d.unionByName(planted), hash_mode="portable")
+
+
+def _simhash_portable_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_near_dups_portable: 64 affine bitplane
+    signs over charfold token hashes, 4x16-bit bands, popcount-xor
+    hamming on candidates."""
+    from firefly_vcut_spark.operators.dedup import MINHASH_P, simhash_coeffs
+
+    p = MINHASH_P
+    half = p // 2
+    charfold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_filter(string_split(tok, ''), c -> c != ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % {p})"
+    )
+    plane_sums = ",\n               ".join(
+        f"sum(CASE WHEN ({a} * h + {b}) % {p} > {half} THEN 1 ELSE -1 END) AS p{j}"
+        for j, (a, b) in enumerate(simhash_coeffs(64))
+    )
+    band_cols = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN p{k * 16 + j} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(16)
+        )
+        + f") AS band{k}"
+        for k in range(4)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT id, band0, band1, band2, band3, {k} AS band_id, "
+        f"band{k} AS band_val FROM sigs"
+        for k in range(4)
+    )
+    hamming = " + ".join(f"bit_count(xor(a{k}, b{k}))" for k in range(4))
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+    ),
+    toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM corpus),
+    hashed AS (SELECT id, {charfold} AS h FROM toks),
+    planes AS (SELECT id,
+               {plane_sums}
+            FROM hashed GROUP BY id),
+    sigs AS (SELECT id,
+               {band_cols}
+            FROM planes),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+               b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST({hamming} AS BIGINT) AS hamming
+    FROM cand WHERE {hamming} <= {max_hamming}
+    """
+
+
+@query(
+    "dedup_simhash_portable",
+    sql=_simhash_portable_sql(),
+    tags=("dedup", "extension"),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (Hamming <= 3) with the portable bitplane
+    family: the banding/pigeonhole/popcount pipeline is identical to
+    dedup_simhash but every intermediate is integer arithmetic DuckDB
+    replays exactly — full oracle check (the xxhash64 engine default
+    stays rows-only)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return simhash_near_dups_portable(d.unionByName(planted))
 
 
 @query("dedup_simhash", sql=None, tags=("dedup", "extension"))

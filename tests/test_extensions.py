@@ -55,6 +55,13 @@ def test_simhash_finds_planted_at_hamming_zero(spark, sf_dir):
     assert {(p, p + 1000000) for p in planted} <= zero
 
 
+def test_simhash_portable_finds_planted_at_hamming_zero(spark, sf_dir):
+    planted = _planted_ids(spark, sf_dir)
+    pairs = QS["dedup_simhash_portable"].fn(spark, sf_dir).collect()
+    zero = {(r.id_a, r.id_b) for r in pairs if r.hamming == 0}
+    assert {(p, p + 1000000) for p in planted} <= zero
+
+
 def test_minhash_signature_paths_agree(spark, sf_dir):
     """The per-row HOF signature (minhash_signature) and the operator's
     exploded flat-column path must produce identical signatures — they
