@@ -175,3 +175,241 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@query(
+    "agg_cube_status_priority",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube", "analytics"),
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping-set levels in
+    one pass — Spark expands grouping sets BEFORE the partial agg, so
+    it stays a single shuffle (no re-reads of the fact table)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@query(
+    "win_lead_lag_deltas",
+    sql="""
+    WITH w AS (
+        SELECT user_id, event_id, ts,
+               lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events WHERE user_id % 10 = 0
+    )
+    SELECT user_id, event_id,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_before_us,
+           epoch_us(next_ts) - epoch_us(ts) AS gap_after_us
+    FROM w
+    """,
+    tags=("window", "analytics"),
+)
+def win_lead_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag session gaps per user: one shuffle on user_id, both
+    window functions share the same frame so Spark evaluates them in
+    a single Window node. Tiebreak on event_id keeps order (and the
+    oracle hash) deterministic under equal timestamps. Gaps in exact
+    integer microseconds (unix_micros / epoch_us) — seconds-level
+    truncation vs rounding differs across engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    next_us = F.unix_micros(F.lead("ts").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - prev_us).alias("gap_before_us"),
+        (next_us - us).alias("gap_after_us"),
+    )
+
+
+@query(
+    "win_running_totals",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS BIGINT) AS order_seq
+    FROM orders WHERE o_custkey % 25 = 0
+    """,
+    tags=("window", "analytics"),
+)
+def win_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend (cumulative frame) + order sequence
+    number — one shuffle on o_custkey; ROWS frame (not RANGE) so ties
+    accumulate row-at-a-time identically in both engines given the
+    o_orderkey tiebreak."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 25 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(cum), 4).alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@query(
+    "agg_price_quantity_stats",
+    sql="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)        AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 4)             AS sd_price,
+           round(avg(l_extendedprice), 4)                     AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats", "analytics"),
+)
+def agg_price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar / stddev): single-pass
+    mergeable moment sketches in both engines — at 100 TB these stay
+    one map-side-combined shuffle, never a sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_nations_per_region_list",
+    sql="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           count(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("agg", "listagg", "analytics"),
+)
+def agg_nations_per_region_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG: collect_list under a deterministic sort.
+    array_sort(collect_list(...)) — not collect_list over sorted input,
+    which Spark does NOT guarantee to preserve across shuffles."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "win_price_deciles",
+    sql="""
+    SELECT o_orderkey,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM orders WHERE o_orderkey % 20 = 0
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "rank", "analytics"),
+)
+def win_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deciles + percent_rank of order value. A single
+    unpartitioned window is the one shape that CANNOT scale (total
+    order on one reducer) — at 100 TB replace with approx_percentile
+    cutpoints joined back (see agg_value_percentiles); kept here
+    because the ranked-ladder semantics are part of the surface."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "q18_large_orders",
+    sql="""
+    SELECT o.o_orderkey, o.o_custkey,
+           round(o.o_totalprice, 4) AS o_totalprice,
+           round(t.sum_qty, 4) AS sum_qty
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 60
+    ) t ON t.l_orderkey = o.o_orderkey
+    """,
+    tags=("join", "having", "analytics"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join. The HAVING filter runs on
+    the aggregated (small) side BEFORE the join, so only qualifying
+    orderkeys shuffle into the join — at scale the filtered aggregate
+    is broadcastable."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 60)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.round("sum_qty", 4).alias("sum_qty"),
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    sql="""
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, count(*) AS n_custs,
+           round(sum(c.c_acctbal), 4) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join", "subquery", "analytics"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti join. The
+    average is a 1-row broadcast cross join (no driver collect — stays
+    one lazy plan); the NOT EXISTS is a left-anti on o_custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
