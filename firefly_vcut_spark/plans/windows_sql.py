@@ -143,3 +143,59 @@ def w_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "st_enrich_stream_static",
+    sql="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           round(e.value, 4) AS value,
+           c.c_mktsegment AS segment,
+           CAST(c.c_nationkey AS BIGINT) AS nationkey
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    tags=("streaming", "join"),
+)
+def st_enrich_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/incremental.enriched_user_events: the
+    stream-static broadcast enrichment join (per-micro-batch dim
+    snapshot). Oracle checks the join itself; stream==batch asserted
+    in tests/test_streaming.py."""
+    from firefly_vcut_spark.streaming.incremental import enriched_user_events
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return enriched_user_events(ev, cust).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "segment",
+        "nationkey",
+    )
+
+
+@query(
+    "st_click_purchase_pairs",
+    sql="""
+    SELECT p.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           round(p.value, 4) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+    """,
+    tags=("streaming", "join", "temporal"),
+)
+def st_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/incremental.click_purchase_pairs: the
+    watermark-bounded stream-stream interval join (clicks within 30
+    minutes before each purchase). The time-bound is what keeps join
+    state O(window) when both sides stream."""
+    from firefly_vcut_spark.streaming.incremental import click_purchase_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_pairs(ev)

@@ -83,6 +83,109 @@ def run_available_now(
     return spark.table(name).collect()
 
 
+def enriched_user_events(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch broadcast-joins the static
+    dimension at its CURRENT snapshot (re-read per batch — slowly
+    changing dims pick up updates without restarts). Stateless: no
+    watermark needed on the static side."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    )
+    return events.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "ts", "event_type", "value", "segment", "nationkey"
+    )
+
+
+def click_purchase_pairs(
+    events: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a time-bound: each user's
+    'purchase' events matched to 'click' events at most ``max_gap``
+    earlier. Both sides watermarked so the join state store is bounded
+    (clicks retained watermark+gap, purchases watermark) — the shape
+    that stays O(window) at 100 TB/day, unlike an unbounded cache."""
+    is_stream = events.isStreaming
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if is_stream:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+def deduped_events(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exactly-once-per-key dedup: dropDuplicates on the
+    event id with a watermark bounding the dedup state (ids older than
+    the watermark are forgotten — the at-least-once-source →
+    effectively-once pattern)."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
+    return src.dropDuplicates(["event_id"])
+
+
+def write_merge_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+) -> None:
+    """foreachBatch idempotent-merge sink: each micro-batch last-wins
+    upserts into a parquet snapshot via the same merge recipe as the
+    batch pipeline (operators/merge.py semantics). foreachBatch may
+    re-deliver a batch after failure; the merge is idempotent, so the
+    sink is effectively exactly-once."""
+    from firefly_vcut_spark.operators.merge import upsert_last_wins
+
+    spark = stream_df.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            current = spark.read.parquet(target_path)
+        except Exception:
+            current = None
+        if current is None:
+            merged = batch_df.dropDuplicates(key_cols)
+        else:
+            merged = upsert_last_wins(current, batch_df, key_cols)
+        merged.write.mode("overwrite").parquet(target_path + ".tmp")
+        final = spark.read.parquet(target_path + ".tmp")
+        final.write.mode("overwrite").parquet(target_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 RUNNING_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),

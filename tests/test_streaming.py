@@ -94,3 +94,57 @@ def test_continuous_aggregate_equals_full_rollup(spark, sf_dir):
         for r in continuous_aggregate(ev, "2024-01-20", rollup=snapshot).collect()
     }
     assert merged2 == full
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
+    from firefly_vcut_spark.streaming.incremental import enriched_user_events
+
+    cust = load_table(spark, sf_dir, "customer")
+    stream = enriched_user_events(read_events_stream(spark, sf_dir), cust)
+    got = run_available_now(stream, str(tmp_path / "ck_enrich"), output_mode="append")
+    batch = enriched_user_events(load_table(spark, sf_dir, "events"), cust).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    from firefly_vcut_spark.streaming.incremental import click_purchase_pairs
+
+    stream = click_purchase_pairs(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, str(tmp_path / "ck_ss"), output_mode="append")
+    batch = click_purchase_pairs(load_table(spark, sf_dir, "events")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(got) > 0  # the fixture must actually exercise the join
+
+
+def test_streaming_dedup_collapses_planted_duplicates(spark, sf_dir, tmp_path):
+    """Two stream sources over the same file = every event delivered
+    twice; watermarked dropDuplicates must collapse them to one."""
+    from firefly_vcut_spark.streaming.incremental import deduped_events
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    stream = deduped_events(doubled).select("event_id")
+    got = run_available_now(stream, str(tmp_path / "ck_dd"), output_mode="append")
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert len(got) == n_batch
+    assert len({r.event_id for r in got}) == n_batch
+
+
+def test_foreach_batch_merge_sink_is_idempotent(spark, sf_dir, tmp_path):
+    from firefly_vcut_spark.streaming.incremental import write_merge_sink
+
+    target = str(tmp_path / "merged.parquet")
+
+    def run(ck):
+        stream = read_events_stream(spark, sf_dir).select(
+            "event_id", "event_type", "value"
+        )
+        write_merge_sink(stream, target, str(tmp_path / ck), ["event_id"])
+
+    run("ck_m1")
+    n1 = spark.read.parquet(target).count()
+    run("ck_m2")  # fresh checkpoint: same batch re-delivered end-to-end
+    n2 = spark.read.parquet(target).count()
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert n1 == n_batch and n2 == n_batch
