@@ -554,3 +554,127 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality ≠ input)."""
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_fake_blobs(d), n_frames=4)
+
+
+@query(
+    "text_tfidf_topterms",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    doclen AS (SELECT doc_id, sum(cnt) AS n_toks FROM tf GROUP BY 1),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round((CAST(tf.cnt AS DOUBLE) / doclen.n_toks)
+                     * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        FROM tf
+        JOIN doclen ON doclen.doc_id = tf.doc_id
+        JOIN dfreq  ON dfreq.term = tf.term
+        CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term ASC) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text", "extension", "tfidf"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. Term-stats plan: one shuffle
+    for (doc, term) counts; doc lengths derived from the SAME grouped
+    set (no second pass over text); document frequency is a term-keyed
+    aggregate of that set; N is a 1-row broadcast. Ranking on the
+    ROUNDED score with a term tiebreak keeps the hash engine-stable.
+    At 100 TB the dfreq side is a term dictionary — bounded by
+    vocabulary, broadcastable after a frequency cutoff."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from firefly_vcut_spark.operators.dedup import normalized_text
+
+    toks = d.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        "doc_id", F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_toks"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_toks"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@query(
+    "text_top_bigrams",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    bg AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+    ),
+    counted AS (SELECT source, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY cnt DESC, bigram ASC) AS rnk
+        FROM counted
+    )
+    SELECT source, bigram, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("text", "extension", "ngram"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per source corpus: n-gram frequency analysis.
+    Bigrams built from the token array in place (no self-join); one
+    shuffle for the (source, bigram) count, per-source rank on the
+    small counted set. The count-desc/bigram-asc tiebreak keeps rank
+    deterministic."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from firefly_vcut_spark.operators.dedup import normalized_text
+
+    t = F.split(normalized_text(F.col("text")), " ")
+    bigrams = F.when(F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "source", F.explode(bigrams).alias("bigram")
+    )
+    counted = bg.groupBy("source", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "bigram", "cnt", F.col("rnk").cast("long").alias("rnk"))
+    )
