@@ -1,0 +1,663 @@
+"""Remaining classic TPC-H query shapes, adapted to the synthetic star
+schema (no partsupp / comment / commitdate columns — each query keeps
+the *shape* of its TPC-H namesake: correlated min, EXISTS semi-join,
+multi-nation volume, market share, disjunctive pushdown, nested
+semi-joins, unique-argmax self-join).
+
+These extend the engine's analytic breadth beyond the reference's own
+query list (SURVEY.md §2 notes grouping sets etc. "built-in if the
+extended surface wants them" — this is that surface). Every query is
+DuckDB-oracle-checked.
+
+Scale notes (100 TB posture) are in each docstring; the common rules:
+dims (nation/region/supplier/customer/part at TPC-H ratios) broadcast;
+the fact table shuffles at most once per aggregate; correlated
+subqueries become broadcast scalar/aggregate joins, never per-row
+re-scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+
+def _net(df_prefix: str = "") -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q2_min_acctbal_supplier",
+    sql="""
+    WITH psl AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'ECONOMY' AND p.p_size <= 10
+    ),
+    cand AS (
+      SELECT psl.l_partkey AS p_partkey, s.s_name, s.s_acctbal
+      FROM psl JOIN supplier s ON s.s_suppkey = psl.l_suppkey
+    )
+    SELECT CAST(c.p_partkey AS BIGINT) AS p_partkey,
+           c.s_name,
+           round(c.s_acctbal, 4) AS s_acctbal
+    FROM cand c
+    WHERE c.s_acctbal = (SELECT min(c2.s_acctbal) FROM cand c2
+                         WHERE c2.p_partkey = c.p_partkey)
+    """,
+    tags=("join", "subquery", "analytics"),
+)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — correlated MIN subquery: for every part in a slice,
+    the supplier(s) with the minimum account balance among those who
+    actually supplied it. The correlated scalar subquery is a window
+    MIN over the candidate set (one shuffle on partkey), not a per-row
+    re-scan. min() of stored doubles is order-exact, so the argmax is
+    deterministic across engines. Ref shape: TPC-H Q2 min supplycost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    psl = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cand = psl.join(F.broadcast(s), psl.l_suppkey == s.s_suppkey).select(
+        F.col("l_partkey").alias("p_partkey"), "s_name", "s_acctbal"
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "s_name",
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+        )
+    )
+
+
+@query(
+    "q4_priority_late_exists",
+    sql="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "semi", "analytics"),
+)
+def q4_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — EXISTS decorrelated to a left-semi join with a
+    non-equi residual (shipped >60 days after order date). The date
+    filter prunes orders *before* the join, so the semi-join probe side
+    is one quarter of one year, and partition pruning on an
+    orderdate-partitioned layout would skip everything else."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "agg", "analytics"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — pure scan-filter-aggregate. All four predicates push to the
+    parquet scan (range on shipdate, range on discount, < on quantity);
+    the aggregate is a map-side partial + single-row exchange. The
+    canonical 'is pushdown working' probe at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q7_nation_volume",
+    sql="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+        OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """,
+    tags=("join", "agg", "analytics"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — bilateral trade volume between two nations by ship
+    year. Both nation filters are applied inside the broadcast dims
+    (supplier and customer pre-filtered to the two nations *before*
+    touching the fact), so the fact rows that survive are only those in
+    the 2×2 nation box."""
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = {"NATION_3", "NATION_7"}
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("supp_nation").isin(*pair))
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("cust_nation").isin(*pair))
+        .select("c_custkey", "cust_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(F.round(F.sum(_net()), 4).alias("volume"))
+    )
+
+
+@query(
+    "q8_market_share",
+    sql="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           round(sum(CASE WHEN ns.n_name = 'NATION_5'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = nc.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY year(o.o_orderdate)
+    """,
+    tags=("join", "agg", "analytics"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — national market share inside one region's customer
+    base per year: conditional numerator over a common denominator in
+    one aggregate pass (no self-join, no second scan)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nc = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    net = _net()
+    national = F.when(F.col("supp_nation") == "NATION_5", net).otherwise(F.lit(0.0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(F.round(F.sum(national) / F.sum(net), 4).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("join", "agg", "analytics"),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — product-line profit by supplier nation and year, with
+    a 60%-of-retail cost proxy standing in for ps_supplycost (no
+    partsupp table in the synthetic schema). The p_name LIKE filter
+    lands inside the broadcast part dim, shrinking the fact join."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = _net() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    sql="""
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "analytics"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape — top-20 customers by returned-item revenue in one
+    quarter. Ranking happens on the *rounded* revenue with c_custkey as
+    tiebreak so the LIMIT frontier is identical across engines
+    (memory-discipline: never rank raw double aggregates)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_name")
+        .agg(F.round(F.sum(_net()), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q11_important_parts",
+    sql="""
+    WITH pv AS (
+      SELECT l.l_partkey, sum(l.l_quantity * p.p_retailprice) AS part_value
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY l.l_partkey
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+           round(part_value, 4) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT 0.0006 * sum(part_value) FROM pv)
+    """,
+    tags=("agg", "subquery", "analytics"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — parts whose traded value exceeds a fraction of the
+    global total. The scalar subquery is a second aggregate over the
+    same grouped result, reused (not recomputed from the fact) and
+    broadcast back as a one-row cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pv = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("part_value"))
+    )
+    total = pv.agg((0.0006 * F.sum("part_value")).alias("threshold"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            F.round("part_value", 4).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q12_lateness_by_priority",
+    sql="""
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("join", "agg", "analytics"),
+)
+def q12_lateness_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — order-priority mix per shipping-lateness bucket
+    (shipmode stand-in: >90-day ship lag vs on-time). Both counters
+    come out of one pass via conditional sums."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit("LATE"),
+    ).otherwise(F.lit("ONTIME"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    sql="""
+    WITH co AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+    tags=("join", "agg", "analytics"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — two-level aggregate: orders per customer (left join
+    keeps zero-order customers; the priority filter lives in the join
+    condition, not a WHERE, which is the classic Q13 trap), then the
+    histogram of those counts. Second aggregate is tiny (distinct
+    counts), so the only real shuffle is the first."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    co = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy(F.col("c_count").cast("bigint").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@query(
+    "q16_part_supplier_variety",
+    sql="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("join", "agg", "anti", "analytics"),
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape — supplier variety per (brand, type, size) slice,
+    excluding 'complaint' suppliers (negative balance stands in for the
+    comment scan). NOT IN becomes a broadcast left-anti join applied
+    *before* the distinct-count shuffle so excluded rows never travel."""
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    sql="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("join", "subquery", "agg", "analytics"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — small-lot revenue below 20% of the per-part average
+    quantity. The correlated AVG decorrelates into a per-part aggregate
+    joined back (broadcast — one row per part). Quantities are
+    integer-valued doubles, so the AVG is summation-order-exact and the
+    threshold comparison cannot flip between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    sql="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "filter", "analytics"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — disjunctive mixed-table predicate over a join.
+    Catalyst extracts the common single-table conjuncts (brand/size on
+    part, quantity range on lineitem) below the join via
+    or-predicate factoring; the residual OR evaluates post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.filter(
+        arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#34", 15, 20, 30)
+    ).agg(F.round(F.sum(_net()), 4).alias("revenue"))
+
+
+@query(
+    "q20_excess_suppliers",
+    sql="""
+    SELECT s.s_name, CAST(s.s_nationkey AS BIGINT) AS s_nationkey
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'ECONOMY'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING sum(l.l_quantity) > 300
+    )
+    """,
+    tags=("join", "semi", "agg", "analytics"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — suppliers who moved >300 units of a product line in
+    one year: aggregate-then-semi-join (IN over a grouped HAVING).
+    Quantities are integer-valued so the HAVING threshold is exact.
+    The heavy work (fact aggregate) happens once; the supplier probe is
+    a broadcast semi-join."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_name", F.col("s_nationkey").cast("bigint").alias("s_nationkey")
+    )
+
+
+@query(
+    "q21_blocking_supplier",
+    sql="""
+    WITH ls AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    ord AS (
+      SELECT l_orderkey, max(last_ship) AS order_last, count(*) AS n_supp
+      FROM ls GROUP BY l_orderkey
+    ),
+    at_max AS (
+      SELECT ls.l_orderkey, ls.l_suppkey
+      FROM ls JOIN ord ON ord.l_orderkey = ls.l_orderkey
+      WHERE ls.last_ship = ord.order_last AND ord.n_supp >= 2
+    ),
+    blocking AS (
+      SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+      FROM at_max GROUP BY l_orderkey HAVING count(*) = 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM blocking b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY s.s_name
+    """,
+    tags=("join", "agg", "window", "analytics"),
+)
+def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — the supplier who kept each multi-supplier order
+    waiting: unique argmax of per-supplier last ship date within an
+    order (EXISTS another supplier, NOT EXISTS another equally-late
+    one), counted per supplier over finished orders. Timestamp max is
+    exact, so the unique-argmax is engine-stable. One shuffle for the
+    (order,supplier) rollup; the order-level stats reuse the same
+    partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ls = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("last_ship"))
+    w = Window.partitionBy("l_orderkey")
+    blocking = (
+        ls.withColumn("order_last", F.max("last_ship").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .filter((F.col("last_ship") == F.col("order_last")) & (F.col("n_supp") >= 2))
+        .groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("b_suppkey"), F.count(F.lit(1)).alias("n_at_max"))
+        .filter(F.col("n_at_max") == 1)
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        blocking.join(o, blocking.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("b_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )

@@ -80,6 +80,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.sources_sql  # noqa: F401
     import firefly_vcut_spark.plans.relational2  # noqa: F401
     import firefly_vcut_spark.plans.analytics  # noqa: F401
+    import firefly_vcut_spark.plans.analytics_tpch  # noqa: F401
     import firefly_vcut_spark.plans.temporal_sql  # noqa: F401
 
 
