@@ -1,0 +1,355 @@
+"""Training-data pipeline operations over the documents corpus:
+deterministic train/val/test split, stratified sampling, quality filter
+chain, PII redaction, duplicate-cluster resolution, and sequence
+packing — the corpus-preparation surface a 100 TB LLM data pipeline
+runs between raw crawl and tokenizer (BASELINE.json north-star rows,
+alongside dedup/ANN/text in plans/extensions.py).
+
+All six are DuckDB-oracle-checked — including the two "inherently
+sequential" ones: connected components (recursive-CTE transitive
+closure twin) and next-fit packing (recursive-CTE fold twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.operators import corpus as cp
+from firefly_vcut_spark.operators import text as tx
+from firefly_vcut_spark.operators.dedup import ngram_jaccard_pairs
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+# DuckDB mirrors of operators/text.py tokenization (see extensions.py).
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# DuckDB mirror of operators/corpus.py split/sample hashes.
+_SPLIT_BUCKET = f"((doc_id * {cp._SPLIT_A}) % {cp._SPLIT_MOD}) % 100"
+_SAMPLE_HASH = f"(doc_id * {cp._SAMPLE_A} + {cp._SAMPLE_B}) % {cp._SAMPLE_P}"
+
+
+@query(
+    "corpus_split_train_val_test",
+    sql=f"""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_SPLIT_BUCKET} < 90 THEN 'train'
+                  WHEN {_SPLIT_BUCKET} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split, lang
+    """,
+    tags=("corpus", "extension"),
+)
+def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split via multiplicative
+    hashing of doc_id (operators/corpus.split_label) — assignment is a
+    pure projection (no shuffle, no RNG state), stable under re-runs
+    and cluster resizing, which is what prevents split leakage when a
+    100 TB corpus is re-ingested incrementally. Output: docs and chars
+    per (split, lang) — the balance check a split job emits."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", cp.split_label(F.col("doc_id")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "corpus_stratified_sample",
+    sql=f"""
+    WITH h AS (
+      SELECT doc_id, source, {_SAMPLE_HASH} AS hk FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+               AS sample_rank
+      FROM h
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 5
+    """,
+    tags=("corpus", "extension"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-per-source deterministic stratified sample: rank each
+    stratum by an affine hash of doc_id (a replayable 'random' order)
+    and keep the top 5. One shuffle on the stratum key; no global
+    sort. The eval-set construction / inspection-sample primitive."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.stratified_sample(d, F.col("source"), k=5).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("stratum").alias("source"),
+        F.col("sample_rank").cast("bigint").alias("sample_rank"),
+    )
+
+
+@query(
+    "corpus_quality_filter_chain",
+    sql=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             len(toks) AS n,
+             CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  AS DOUBLE) / greatest(len(toks), 1) AS mt,
+             CAST(len(list_filter(toks,
+                  x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                  AS DOUBLE) / greatest(len(toks), 1) AS sw
+      FROM t
+    ),
+    v AS (
+      SELECT source,
+             CASE WHEN n < 30 THEN 'drop_too_short'
+                  WHEN mt < 3.0 OR mt > 8.0 THEN 'drop_token_len'
+                  WHEN sw < 0.02 THEN 'drop_low_stopword'
+                  ELSE 'keep' END AS verdict
+      FROM m
+    )
+    SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs
+    FROM v GROUP BY source, verdict
+    """,
+    tags=("corpus", "text", "extension"),
+)
+def corpus_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality filter chain: first-failing-rule verdict per
+    doc (too short → token-length band → stopword floor → keep),
+    aggregated per (source, verdict) — the drop-reason report a
+    filtering job emits. All rules are pure-Column reuses of
+    operators/text.py; one scan, one shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = tx.token_count(text)
+    mt = tx.mean_token_len(text)
+    sw = tx.stopword_ratio(text)
+    verdict = (
+        F.when(n < 30, F.lit("drop_too_short"))
+        .when((mt < 3.0) | (mt > 8.0), F.lit("drop_token_len"))
+        .when(sw < 0.02, F.lit("drop_low_stopword"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.select("source", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "corpus_pii_redaction",
+    sql=f"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-867-' ||
+                          lpad(CAST(1000 + doc_id % 9000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS body
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             len(regexp_extract_all(body, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(body, '{_PHONE_RE}')) AS n_phones,
+             length(body)
+               - length(regexp_replace(regexp_replace(body,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g'))
+               AS chars_removed
+      FROM aug
+    )
+    SELECT source,
+           CAST(sum(n_emails) AS BIGINT) AS emails,
+           CAST(sum(n_phones) AS BIGINT) AS phones,
+           CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_pii,
+           CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+    FROM m GROUP BY source
+    """,
+    tags=("corpus", "text", "extension"),
+)
+def corpus_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + audit: count and redact email/phone patterns,
+    report per-source match counts and net character delta. The
+    synthetic corpus carries no PII, so both engines plant identical
+    deterministic PII into a doc_id-keyed subset first (doc_id%7 →
+    email, doc_id%11 → phone) — the redaction regexes then have real
+    work and real negatives. JVM regex end-to-end; at 100 TB this is
+    scan-shaped (no shuffle until the per-source rollup)."""
+    d = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-867-"),
+                F.lpad((1000 + F.col("doc_id") % 9000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("body"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    m = d.select(
+        "source",
+        body.alias("body"),
+    ).select(
+        "source",
+        F.size(F.regexp_extract_all(F.col("body"), F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("body"), F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        (F.length("body") - F.length(redacted)).alias("chars_removed"),
+    )
+    return m.groupBy("source").agg(
+        F.sum("n_emails").cast("bigint").alias("emails"),
+        F.sum("n_phones").cast("bigint").alias("phones"),
+        F.sum(F.when(F.col("n_emails") + F.col("n_phones") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("chars_removed").cast("bigint").alias("chars_removed"),
+    )
+
+
+@query(
+    "corpus_dedup_components",
+    sql=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id, source AS block, list_distinct({_TOKS}) AS toks
+      FROM documents
+    ),
+    sized AS (SELECT id, block, toks, len(toks) AS n_toks FROM base),
+    tok AS (SELECT id, block, n_toks, unnest(toks) AS tok FROM sized),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM tok a JOIN tok b
+        ON a.block = b.block AND a.tok = b.tok
+       AND a.id < b.id AND b.id - a.id <= 60
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sized na ON na.id = i.id_a
+      JOIN sized nb ON nb.id = i.id_b
+      WHERE round(CAST(i.n_inter AS DOUBLE)
+                  / (na.n_toks + nb.n_toks - i.n_inter), 4) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+      UNION SELECT id_a, id_a FROM pairs
+      UNION SELECT id_b, id_b FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT CAST(u AS BIGINT) AS doc_id,
+           CAST(min(v) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """,
+    tags=("corpus", "dedup", "extension"),
+)
+def corpus_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup pairs (token-set Jaccard
+    >= 0.8 on blocked candidates — the dedup_ngram_jaccard pipeline)
+    grouped into connected components by iterative min-label
+    propagation; component id = min doc_id reachable, i.e. the
+    canonical survivor each duplicate collapses to. The oracle twin is
+    a recursive-CTE transitive closure — same fixpoint, declared
+    recursively. At 100 TB the iteration count is graph diameter
+    (near-dup blobs: 2-4), one bounded shuffle per round."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, blocking=F.col("source"), max_id_gap=60).filter(
+        F.col("jaccard") >= 0.8
+    )
+    return cp.connected_components(pairs).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+@query(
+    "corpus_pack_sequences",
+    sql=f"""
+    WITH RECURSIVE t AS (
+      SELECT source, doc_id,
+             list_aggregate(list_transform({_TOKS},
+                 x -> CAST(ceil(length(x) / 4.0) AS BIGINT)), 'sum') AS n_tokens
+      FROM documents
+    ),
+    seq AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM t
+    ),
+    pack AS (
+      SELECT source, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.source, s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN p.fill + s.n_tokens <= 256 THEN p.bin_id
+                  ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + s.n_tokens <= 256 THEN p.fill + s.n_tokens
+                  ELSE s.n_tokens END
+      FROM pack p JOIN seq s ON s.source = p.source AND s.rn = p.rn + 1
+    )
+    SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM pack GROUP BY source, bin_id
+    """,
+    tags=("corpus", "extension"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: next-fit fold of docs
+    (in doc_id order, subword token counts from operators/text.py)
+    into 256-token bins per source. The fold is sequential within a
+    source, so it runs as one applyInPandas pass per source — sources
+    pack in parallel, which is the scale axis (shards are many, docs
+    per shard bounded). Token counting stays JVM-side; Python carries
+    only (bin, fill). The oracle twin expresses the same fold as a
+    recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", tx.subword_count(F.col("text")).alias("n_tokens")
+    )
+    packed = cp.pack_next_fit(toks, capacity=256)
+    return packed.groupBy("source", F.col("bin_id").cast("bigint").alias("bin_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

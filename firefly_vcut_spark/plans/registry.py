@@ -81,6 +81,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.relational2  # noqa: F401
     import firefly_vcut_spark.plans.analytics  # noqa: F401
     import firefly_vcut_spark.plans.analytics_tpch  # noqa: F401
+    import firefly_vcut_spark.plans.pipeline_ops  # noqa: F401
     import firefly_vcut_spark.plans.temporal_sql  # noqa: F401
 
 

@@ -1,0 +1,106 @@
+"""Corpus-preparation operator properties (operators/corpus.py):
+split determinism and balance, stratified-sample exactness, next-fit
+packing invariants, and connected-components correctness on a known
+graph. The cross-engine value checks live in the oracle suite
+(plans/pipeline_ops.py); these cover the properties SQL can't state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.operators import corpus as cp
+from firefly_vcut_spark.sources.catalog import load_table
+
+
+def test_split_deterministic_and_balanced(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    once = d.select("doc_id", cp.split_label(F.col("doc_id")).alias("s"))
+    twice = d.select("doc_id", cp.split_label(F.col("doc_id")).alias("s2"))
+    assert once.join(twice, "doc_id").filter(F.col("s") != F.col("s2")).count() == 0
+    counts = {r["s"]: r["n"] for r in once.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    # multiplicative hash over sequential ids: train band is wide; the
+    # exact per-band counts are locked by the oracle, this is the sanity
+    # envelope (train the clear majority, all three bands present)
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 0.8 * total
+
+
+def test_stratified_sample_exactly_k(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = cp.stratified_sample(d, F.col("source"), k=3)
+    per = out.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    assert per and all(r["n"] == 3 for r in per)
+    # ranks are 1..k with no duplicates inside a stratum
+    assert out.filter((F.col("sample_rank") < 1) | (F.col("sample_rank") > 3)).count() == 0
+    assert (
+        out.groupBy("stratum", "sample_rank").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+
+def test_pack_next_fit_invariants(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    from firefly_vcut_spark.operators import text as tx
+
+    toks = d.select("source", "doc_id", tx.subword_count(F.col("text")).alias("n_tokens"))
+    capacity = 64  # small so both normal and oversize branches occur
+    packed = cp.pack_next_fit(toks, capacity=capacity).cache()
+    # every doc packed exactly once
+    assert packed.count() == toks.count()
+    assert packed.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    # a bin exceeds capacity only if it holds a single oversize doc
+    bins = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n")
+    )
+    assert bins.filter((F.col("fill") > capacity) & (F.col("n") > 1)).count() == 0
+    # bin ids are contiguous from 0 per source
+    per_src = bins.groupBy("source").agg(
+        F.min("bin_id").alias("lo"), F.max("bin_id").alias("hi"), F.count("*").alias("nb")
+    )
+    assert per_src.filter(
+        (F.col("lo") != 0) | (F.col("nb") != F.col("hi") + 1)
+    ).count() == 0
+    packed.unpersist()
+
+
+def test_pack_respects_id_order(spark, sf_dir):
+    """Next-fit never assigns a later doc to an earlier-closed bin:
+    bin_id is monotone in doc_id within a source."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    from firefly_vcut_spark.operators import text as tx
+
+    toks = d.select("source", "doc_id", tx.subword_count(F.col("text")).alias("n_tokens"))
+    packed = cp.pack_next_fit(toks, capacity=128)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    viol = (
+        packed.withColumn("prev_bin", F.lag("bin_id").over(w))
+        .filter(F.col("prev_bin").isNotNull() & (F.col("bin_id") < F.col("prev_bin")))
+        .count()
+    )
+    assert viol == 0
+
+
+def test_connected_components_known_graph(spark):
+    # two triangles bridged by one edge + an isolated pair:
+    # {1,2,3,4,5,6} (bridge 3-4) and {10,11}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (10, 11)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["id"]: r["component"] for r in cp.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_orientation_invariant(spark):
+    """Flipping every edge's direction must not change the clustering
+    (the operator symmetrizes internally)."""
+    fwd = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    rev = fwd.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    a = {r["id"]: r["component"] for r in cp.connected_components(fwd).collect()}
+    b = {r["id"]: r["component"] for r in cp.connected_components(rev).collect()}
+    assert a == b == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
