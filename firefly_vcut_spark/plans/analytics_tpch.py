@@ -639,11 +639,20 @@ def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     waiting: unique argmax of per-supplier last ship date within an
     order (EXISTS another supplier, NOT EXISTS another equally-late
     one), counted per supplier over finished orders. Timestamp max is
-    exact, so the unique-argmax is engine-stable. One shuffle for the
-    (order,supplier) rollup; the order-level stats reuse the same
-    partitioning."""
+    exact, so the unique-argmax is engine-stable.
+
+    Shuffle plan: ONE fact shuffle. The explicit repartition on
+    l_orderkey satisfies the clustering requirement of everything
+    downstream — the (order,supplier) rollup (partitioning on a subset
+    of the group keys is a valid ClusteredDistribution), the
+    order-window, and the order-level regroup — so none of them
+    re-exchange. The per-order survivors then broadcast into orders."""
     li = load_table(spark, sf_dir, "lineitem")
-    ls = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("last_ship"))
+    ls = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
     w = Window.partitionBy("l_orderkey")
     blocking = (
         ls.withColumn("order_last", F.max("last_ship").over(w))
@@ -656,7 +665,7 @@ def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
     return (
-        blocking.join(o, blocking.l_orderkey == o.o_orderkey)
+        o.join(F.broadcast(blocking), blocking.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), F.col("b_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))

@@ -51,3 +51,40 @@ def test_anti_join_is_broadcast(spark, sf_dir):
 def test_q1_partial_aggregation(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q1_pricing_summary")
     assert "partial_" in plan  # map-side partial agg before exchange
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert plan.count("Exchange") == 1  # single-row aggregate exchange only
+
+
+def test_q10_take_ordered_on_rounded_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_disjunct_quantity_ranges_pushed(spark, sf_dir):
+    """The OR-of-ANDs must factor a lineitem-only disjunct down to the
+    scan (quantity ranges), not evaluate everything post-join."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_quantity" in pushed and "Or(" in pushed
+
+
+def test_q21_single_fact_shuffle(spark, sf_dir):
+    """Rollup, window, and regroup all reuse the one explicit
+    l_orderkey partitioning; only the final tiny s_name aggregate and
+    the two broadcasts add exchanges."""
+    plan = _plan(spark, sf_dir, "q21_blocking_supplier")
+    assert plan.count("Exchange") <= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_split_no_shuffle_before_rollup(spark, sf_dir):
+    """The split assignment itself is a pure projection — exactly one
+    exchange (the final (split,lang) rollup)."""
+    plan = _plan(spark, sf_dir, "corpus_split_train_val_test")
+    assert plan.count("Exchange") == 1
