@@ -353,3 +353,56 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+@query(
+    "corpus_incremental_dedup",
+    sql=f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM}) AS fingerprint FROM documents
+    ),
+    existing AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+    incoming AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+    survivors AS (
+      SELECT i.doc_id, i.source, i.fingerprint
+      FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM existing e
+                        WHERE e.fingerprint = i.fingerprint)
+    ),
+    ranked AS (
+      SELECT doc_id, source, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+               AS rn
+      FROM survivors
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, fingerprint
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("corpus", "dedup", "extension"),
+)
+def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup for continuous ingestion: an incoming
+    batch (doc_id%5=0 stands in for 'today's crawl') is deduplicated
+    (a) against the existing corpus via a fingerprint anti-join and
+    (b) within itself via first-id-wins per fingerprint. At 100 TB the
+    anti-join probes only fingerprints (16-byte digests, never text),
+    and the existing side prunes to the fingerprint column of a
+    digest-sorted index table — the whole corpus never rescans."""
+    d = load_table(spark, sf_dir, "documents")
+    from firefly_vcut_spark.operators.text import fingerprint_md5
+    from pyspark.sql import Window
+
+    fp = d.select(
+        "doc_id", "source", fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+    existing = fp.filter(F.col("doc_id") % 5 != 0)
+    incoming = fp.filter(F.col("doc_id") % 5 == 0)
+    survivors = incoming.join(
+        existing.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "source", "fingerprint")
+    )
