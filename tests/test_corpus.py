@@ -104,3 +104,74 @@ def test_connected_components_orientation_invariant(spark):
     a = {r["id"]: r["component"] for r in cp.connected_components(fwd).collect()}
     b = {r["id"]: r["component"] for r in cp.connected_components(rev).collect()}
     assert a == b == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def _uf_components(edges):
+    """Pure-Python union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize to min-reachable-id
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_vs_union_find_random(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(trial * 100, trial * 100 + 60))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _uf_components(edges)
+        got = {
+            r["id"]: r["component"]
+            for r in cp.connected_components(
+                spark.createDataFrame(edges, ["id_a", "id_b"])
+            ).collect()
+        }
+        assert got == expected
+
+
+def _nextfit_reference(items, capacity):
+    """Pure-Python next-fit fold: [(id, tokens)] sorted by id → {id: bin}."""
+    out, fill, bin_id = {}, 0, -1
+    for i, t in sorted(items):
+        if bin_id < 0 or fill + t > capacity:
+            bin_id += 1
+            fill = t
+        else:
+            fill += t
+        out[i] = bin_id
+    return out
+
+
+def test_pack_next_fit_vs_reference_random(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    expected = {}
+    for g in range(4):
+        items = [(g * 1000 + i, rng.randint(1, 120)) for i in range(50)]
+        rows += [(f"g{g}", i, t) for i, t in items]
+        for i, b in _nextfit_reference(items, 96).items():
+            expected[i] = b
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_tokens"])
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in cp.pack_next_fit(df, capacity=96).collect()
+    }
+    assert got == expected
