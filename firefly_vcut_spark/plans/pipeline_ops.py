@@ -406,3 +406,84 @@ def corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "source", "fingerprint")
     )
+
+
+@query(
+    "corpus_centroid_assignment",
+    sql="""
+    WITH ev AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT label, unnest(v) AS val,
+             unnest(range(1, len(v)+1)) AS dim
+      FROM ev
+    ),
+    cdim AS (
+      SELECT label AS c_label, dim, round(avg(val), 6) AS cv
+      FROM flat GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT c_label, list(cv ORDER BY dim) AS c_vec FROM cdim GROUP BY c_label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             round(list_cosine_similarity(e.v, c.c_vec), 4) AS cs
+      FROM ev e CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cs DESC, c_label ASC) AS rn
+      FROM scored
+    )
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(c_label AS BIGINT) AS assigned_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked WHERE rn = 1 GROUP BY label, c_label
+    """,
+    tags=("corpus", "vector", "extension"),
+)
+def corpus_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-clustering E-step: per-label mean embeddings become
+    centroids (rounded to 6 decimals on both engines so partial-agg
+    summation order can't leak into the ulps), every vector is
+    assigned to its nearest centroid by cosine (rank on the rounded
+    score, centroid-label tiebreak), and the output is the
+    (true label × assigned label) confusion matrix — the purity
+    report a semantic dedup / clustering job emits. Centroids are k
+    rows → broadcast; the assignment pass is scan-shaped JVM fold
+    math, the same shape as ann_bruteforce_topk."""
+    from pyspark.sql import Window
+    from firefly_vcut_spark.functions import vectors as vx
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    flat = ev.select("label", F.posexplode("v").alias("pos", "val"))
+    cdim = flat.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("cv"))
+    cent = (
+        cdim.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("c_vec")
+        )
+    )
+    scored = ev.crossJoin(F.broadcast(cent)).withColumn(
+        "cs", F.round(vx.cosine(F.col("v"), F.col("c_vec")), 4)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.col("label").cast("bigint").alias("true_label"),
+            F.col("c_label").cast("bigint").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
