@@ -18,8 +18,9 @@ Spark-first design for 100 TB:
   fragments are short) and equi-joined to ``broadcast(songs)`` on k —
   the scored-pair count is segments×songs, but window-text assembly is
   amortized to segments×distinct_k.
-- Scoring stays JVM-side (levenshtein codegen) in the default path;
-  the exact-indel pandas-UDF path is a drop-in scorer.
+- Default scoring is the exact-indel pandas UDF (reference
+  ``fuzz.ratio`` parity, Arrow-batched bit-parallel LCS); the JVM
+  levenshtein codegen scorer is the drop-in cheap approximation.
 - Argmax is a partial-aggregating ``max_by`` on an ordering-encoding
   struct — no global sort, no row_number window over the scored set.
 
@@ -34,11 +35,24 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from firefly_vcut_spark.functions.similarity import levenshtein_sum_ratio
+from firefly_vcut_spark.functions.similarity import (
+    indel_ratio_udf,
+    levenshtein_sum_ratio,
+)
 
 Scorer = Callable[[Column, Column], Column]
 
 DEFAULT_THRESHOLD = 40.0  # reference cmdline.py:204-209 ("score >= 40 passes")
+
+
+def indel_scorer(a: Column, b: Column) -> Column:
+    """Default scorer: exact rapidfuzz ``fuzz.ratio`` semantics
+    (normalized indel similarity — fuzz.py:26,36) via the Arrow-batched
+    bit-parallel LCS pandas UDF. This is the reference-parity path; the
+    JVM ``levenshtein_sum_ratio`` remains available as the cheaper
+    codegen approximation (it upper-bounds indel, so thresholds only
+    loosen)."""
+    return indel_ratio_udf(a, b)
 
 
 def count_lines(col: Column) -> Column:
@@ -133,7 +147,7 @@ def best_window_per_pair(scored: DataFrame, id_col: str = "doc_id") -> DataFrame
 def fuzzy_occurrence_scan(
     segments: DataFrame,
     songs: DataFrame,
-    scorer: Scorer = levenshtein_sum_ratio,
+    scorer: Scorer = indel_scorer,
     threshold: float = DEFAULT_THRESHOLD,
     id_col: str = "doc_id",
     lyrics_col: str = "lyrics_fragment",

@@ -3,21 +3,27 @@ stage 4 of the reference cron (modal/occurrence.py:78-131) re-hosted on
 the documents-derived transcript/songs fixtures.
 
 Two registrations:
-- ``w1_flagship_occurrence_scan`` — JVM levenshtein scoring, fully
-  DuckDB-oracle-checked (windowing, short-page fallback, cross join,
-  argmax tie-stability, threshold — the whole skeleton).
-- ``w1_exact_indel_scan`` — exact rapidfuzz-semantics indel scoring
-  via the bit-parallel pandas UDF; not SQL-expressible (rows-only for
-  the driver), engine-verified by property tests vs a straight-DP
-  reference implementation.
+- ``w1_flagship_occurrence_scan`` — the DEFAULT path, scoring with
+  exact rapidfuzz ``fuzz.ratio`` semantics (normalized indel
+  similarity, reference fuzz.py:26,36) via the Arrow-batched
+  bit-parallel LCS pandas UDF. Fully DuckDB-oracle-checked: the oracle
+  replays the SAME Allison–Dix bit-vector LCS recurrence on a 126-bit
+  HUGEINT word (oracle_bits.lcs_expr), so windowing, short-page
+  fallback, cross join, argmax tie-stability, threshold AND the exact
+  scoring all hash-match.
+- ``w1_lev_approx_scan`` — the JVM-codegen levenshtein approximation
+  (100·(1−lev/(|a|+|b|)), which upper-bounds indel similarity); kept
+  as the cheap non-UDF path and oracle-checked against DuckDB's
+  ``levenshtein``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from firefly_vcut_spark.functions.similarity import indel_ratio_udf
+from firefly_vcut_spark.functions.similarity import levenshtein_sum_ratio
 from firefly_vcut_spark.operators.fuzzy import fuzzy_occurrence_scan
+from firefly_vcut_spark.oracle_bits import indel_ratio_expr
 from firefly_vcut_spark.plans.registry import query
 from firefly_vcut_spark.sources import fixtures as fx
 
@@ -25,8 +31,7 @@ from firefly_vcut_spark.sources import fixtures as fx
 # max k is 3 (songs k = 1 + (doc_id//91) % 3 — sources/fixtures.py).
 _FIXTURE_MAX_K = 3
 
-_FLAGSHIP_SQL = fx.with_fixtures(
-    f"""
+_SKELETON = f"""
     , songs_k AS (
         SELECT song_id, lyrics_fragment,
                len(string_split(lyrics_fragment, chr(10))) AS k
@@ -52,12 +57,9 @@ _FLAGSHIP_SQL = fx.with_fixtures(
         WHERE (w.page_len >= ks.k AND w.seg_idx <= w.page_len - ks.k)
            OR (w.page_len < ks.k AND w.seg_idx = 0)
     )
-    , scored AS (
-        SELECT s.song_id, w.doc_id, w.page, w.seg_idx, w.start,
-               100.0 * (1.0 - CAST(levenshtein(s.lyrics_fragment, w.wtext) AS DOUBLE)
-                        / greatest(length(s.lyrics_fragment) + length(w.wtext), 1)) AS score
-        FROM winks w JOIN songs_k s ON s.k = w.k
-    )
+"""
+
+_TAIL = """
     , best AS (
         SELECT *, row_number() OVER (PARTITION BY song_id, doc_id
                       ORDER BY score DESC, page ASC, seg_idx ASC) AS rn
@@ -69,7 +71,36 @@ _FLAGSHIP_SQL = fx.with_fixtures(
            CAST(seg_idx AS BIGINT) AS seg_idx,
            round(score, 4)         AS score
     FROM best WHERE rn = 1 AND score >= 40
-    """,
+"""
+
+# Exact-indel scoring: the oracle computes the identical bit-parallel
+# LCS the engine's pandas UDF runs (same recurrence, same 200·L/(la+lb)
+# double arithmetic), entirely in DuckDB SQL over HUGEINTs.
+_FLAGSHIP_SQL = fx.with_fixtures(
+    _SKELETON
+    + f"""
+    , scored AS (
+        SELECT s.song_id, w.doc_id, w.page, w.seg_idx, w.start,
+               {indel_ratio_expr('s.lyrics_fragment', 'w.wtext')} AS score
+        FROM winks w JOIN songs_k s ON s.k = w.k
+    )
+    """
+    + _TAIL,
+    "segments",
+    "songs",
+)
+
+_LEV_SQL = fx.with_fixtures(
+    _SKELETON
+    + """
+    , scored AS (
+        SELECT s.song_id, w.doc_id, w.page, w.seg_idx, w.start,
+               100.0 * (1.0 - CAST(levenshtein(s.lyrics_fragment, w.wtext) AS DOUBLE)
+                        / greatest(length(s.lyrics_fragment) + length(w.wtext), 1)) AS score
+        FROM winks w JOIN songs_k s ON s.k = w.k
+    )
+    """
+    + _TAIL,
     "segments",
     "songs",
 )
@@ -77,25 +108,26 @@ _FLAGSHIP_SQL = fx.with_fixtures(
 
 @query("w1_flagship_occurrence_scan", sql=_FLAGSHIP_SQL, tags=("flagship", "window", "fuzzy", "bench"))
 def w1_flagship_occurrence_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 sliding-window fuzzy scan, end to end: one window pass
-    assembles all k-windows (incl. whole-page fallback for short
-    pages), broadcast-joins the songs dim on k, scores JVM-side
-    (levenshtein ratio), keeps the tie-stable best window per
-    (song, transcript), and applies the ≥40 threshold
-    (fuzz.py:3-43, cmdline.py:322-335)."""
+    """W1 sliding-window fuzzy scan, end to end, with the reference's
+    exact scoring: one window pass assembles all k-windows (incl.
+    whole-page fallback for short pages), broadcast-joins the songs dim
+    on k, scores with exact indel similarity (rapidfuzz ``fuzz.ratio``
+    parity — fuzz.py:26,36 — bit-parallel LCS pandas UDF), keeps the
+    tie-stable best window per (song, transcript), and applies the ≥40
+    threshold (fuzz.py:3-43, cmdline.py:322-335)."""
     return fuzzy_occurrence_scan(
         fx.segments(spark, sf_dir), fx.songs(spark, sf_dir)
     )
 
 
-@query("w1_exact_indel_scan", sql=None, tags=("flagship", "window", "fuzzy", "udf"))
-def w1_exact_indel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same pipeline with exact rapidfuzz `fuzz.ratio` semantics
-    (normalized indel similarity) via the Arrow-batched bit-parallel
-    LCS pandas UDF — the engine-exact scoring path (fuzz.py:26,36).
-    Not SQL-expressible; property-tested against a straight DP."""
+@query("w1_lev_approx_scan", sql=_LEV_SQL, tags=("flagship", "window", "fuzzy"))
+def w1_lev_approx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline with the JVM levenshtein-ratio approximation
+    (whole-stage codegen, no Python): the cheap scorer for scans where
+    indel exactness isn't required. lev_ratio ≥ indel_ratio, so the
+    threshold-40 pass set is a superset of the flagship's."""
     return fuzzy_occurrence_scan(
         fx.segments(spark, sf_dir),
         fx.songs(spark, sf_dir),
-        scorer=lambda a, b: indel_ratio_udf(a, b),
+        scorer=levenshtein_sum_ratio,
     )

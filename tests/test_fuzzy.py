@@ -75,18 +75,19 @@ def _port_expected(spark, sf_dir, scorer):
 @pytest.mark.parametrize(
     "engine_scorer,port_scorer",
     [
-        pytest.param(None, lev_sum_ratio, id="levenshtein"),
-        pytest.param("indel", dp_indel_ratio, id="indel"),
+        pytest.param("lev", lev_sum_ratio, id="levenshtein"),
+        pytest.param(None, dp_indel_ratio, id="indel"),
     ],
 )
 def test_engine_matches_reference_port(spark, sf_dir, engine_scorer, port_scorer):
     segs = fx.segments(spark, sf_dir)
     songs = fx.songs(spark, sf_dir)
-    if engine_scorer == "indel":
-        from firefly_vcut_spark.functions.similarity import indel_ratio_udf
+    if engine_scorer == "lev":
+        from firefly_vcut_spark.functions.similarity import levenshtein_sum_ratio
 
-        df = fuzzy_occurrence_scan(segs, songs, scorer=lambda a, b: indel_ratio_udf(a, b))
+        df = fuzzy_occurrence_scan(segs, songs, scorer=levenshtein_sum_ratio)
     else:
+        # default path = exact indel (reference fuzz.ratio parity)
         df = fuzzy_occurrence_scan(segs, songs)
     got = {
         (r.song_id, r.doc_id): (r.start, r.page, r.seg_idx, r.score)

@@ -6,7 +6,7 @@ transcripts."""
 from __future__ import annotations
 
 from firefly_vcut_spark.operators.fuzzy import fuzzy_occurrence_scan
-from tests.fuzz_port import best_match, lev_sum_ratio
+from tests.fuzz_port import best_match, dp_indel_ratio
 
 
 def _mk_segments(spark, transcripts: dict[int, list[list[str]]]):
@@ -54,7 +54,7 @@ def test_large_and_oversized_k(spark):
                 [{"start": float(10 * i), "text": t} for i, t in enumerate(p)]
                 for p in pages
             ]
-            exp = best_match(ly, nested, lev_sum_ratio)
+            exp = best_match(ly, nested, dp_indel_ratio)
             assert exp is not None
             score, start, page, seg_idx = exp
             g = got[(sid, doc_id)]

@@ -8,7 +8,7 @@ from __future__ import annotations
 import random
 
 from firefly_vcut_spark.operators.fuzzy import fuzzy_occurrence_scan
-from tests.fuzz_port import best_match, lev_sum_ratio
+from tests.fuzz_port import best_match, dp_indel_ratio
 
 VOCAB = ["spark", "join", "scan", "merge", "sort", "agg", "la", "na", "hum", "x"]
 
@@ -71,7 +71,7 @@ def test_engine_equals_port_on_random_transcripts(spark):
                 [{"start": float(i * 3), "text": t} for i, t in enumerate(page)]
                 for page in pages
             ]
-            exp = best_match(ly, nested, lev_sum_ratio)
+            exp = best_match(ly, nested, dp_indel_ratio)
             assert exp is not None
             score, start, page, seg_idx = exp
             g = got[(sid, d)]
