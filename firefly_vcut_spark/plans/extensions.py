@@ -72,12 +72,91 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d.unionByName(planted))
 
 
-@query("dedup_minhash_lsh", sql=None, tags=("dedup", "extension", "lsh"))
+def _minhash_xxh_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB twin of minhash_lsh_candidates(xxhash64): replays Spark's
+    XXH64 bit-for-bit via oracle_bits' generated SQL — per-shingle
+    seed-chained hashes (xxhash64(i, sh) = XXH64 with the int-literal
+    seed chain), signed MIN signatures, and the comma-joined band
+    re-hash. Distinct shingles are hashed once and joined back."""
+    from firefly_vcut_spark import oracle_bits as ob
+
+    rpb = num_hashes // bands
+    seeds = "[" + ", ".join(
+        f"{ob.seed_after_int_lit(i)}::HUGEINT" for i in range(num_hashes)
+    ) + "]"
+    sh_base = (
+        f"(SELECT s, {ob.bytes_list('s')} AS bs, "
+        f"octet_length(encode(s)) AS bn FROM dsh)"
+    )
+    sh_chain = ob.chain_sql(sh_base, ["s", "bs", "bn"], ob.xxh64_prep_steps("bs", "bn", "pp"))
+    sig_cols = ",\n               ".join(
+        f"min({ob.signed64(f'hs[{i + 1}]')}) AS s{i}" for i in range(num_hashes)
+    )
+    band_strs = "\n        UNION ALL\n        ".join(
+        f"SELECT id, {b} AS band_id, "
+        + " || ',' || ".join(
+            f"CAST(s{b * rpb + j} AS VARCHAR)" for j in range(rpb)
+        )
+        + " AS bstr FROM sig"
+        for b in range(bands)
+    )
+    bh_base = (
+        f"(SELECT id, band_id, {ob.bytes_list('bstr')} AS bs, "
+        f"octet_length(encode(bstr)) AS bn FROM bandstr)"
+    )
+    bh_chain = ob.chain_sql(
+        bh_base, ["id", "band_id", "bs", "bn"], ob.xxh64_prep_steps("bs", "bn", "qq")
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+    ),
+    toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM corpus),
+    shingled AS (
+        SELECT id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - 3, 0) + 2),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' ')
+               )) AS shs
+        FROM toks
+    ),
+    sh AS (SELECT id, unnest(shs) AS s FROM shingled),
+    dsh AS (SELECT DISTINCT s FROM sh),
+    hashed AS (
+        SELECT s, {ob.xxh64_multi_expr('pp', 'bn', seeds)} AS hs
+        FROM {sh_chain}
+    ),
+    sig AS (
+        SELECT sh.id,
+               {sig_cols}
+        FROM sh JOIN hashed h ON sh.s = h.s
+        GROUP BY sh.id
+    ),
+    bandstr AS (
+        {band_strs}
+    ),
+    banded AS (
+        SELECT id, band_id,
+               {ob.signed64(f"{ob.xxh64_multi_expr('qq', 'bn', f'[{ob.SPARK_HASH_SEED}::HUGEINT]')}[1]")} AS band_hash
+        FROM {bh_chain}
+    )
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_bands
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+    GROUP BY 1, 2
+    """
+
+
+@query("dedup_minhash_lsh", sql=_minhash_xxh_sql(), tags=("dedup", "extension", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms)+LSH(8 bands) near-dup candidates over the
-    planted-duplicate corpus. xxhash64 has no DuckDB twin → rows-only
-    driver check; pair-level correctness is pytest-asserted (planted
-    dups MUST surface as candidates sharing all 8 bands)."""
+    planted-duplicate corpus, xxhash64 engine path — now fully
+    hash-checked: the DuckDB oracle replays Spark's XXH64 (seed-chained
+    per-perm shingle hashes, signed MIN signature, comma-joined band
+    re-hash) through oracle_bits' generated bitwise-HUGEINT SQL.
+    Planted dups additionally pytest-asserted at all-8-bands."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") % 17 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -240,12 +319,78 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups_portable(d.unionByName(planted))
 
 
-@query("dedup_simhash", sql=None, tags=("dedup", "extension"))
+def _simhash_xxh_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_near_dups (xxhash64): per-token XXH64
+    (seed 42) replayed via oracle_bits, 64 bitplane ±1 sums (bit b of
+    the unsigned hash == Spark's signed shiftright-and-1), unsigned
+    HUGEINT signature, 4x16-bit pigeonhole bands, popcount-xor hamming.
+    Distinct tokens are hashed once and joined back."""
+    from firefly_vcut_spark import oracle_bits as ob
+
+    tok_base = (
+        f"(SELECT tok, {ob.bytes_list('tok')} AS bs, "
+        f"octet_length(encode(tok)) AS bn FROM dtok)"
+    )
+    tok_chain = ob.chain_sql(
+        tok_base, ["tok", "bs", "bn"], ob.xxh64_prep_steps("bs", "bn", "pp")
+    )
+    plane_sums = ",\n               ".join(
+        f"sum(CASE WHEN (hh >> {b}) & 1::HUGEINT = 1::HUGEINT THEN 1 ELSE -1 END) AS p{b}"
+        for b in range(64)
+    )
+    sim = (
+        "("
+        + " + ".join(
+            f"CASE WHEN p{b} > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+            for b in range(64)
+        )
+        + ")"
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT id, sim, {k} AS band_id, "
+        f"CAST((sim >> {16 * k}) & 65535::HUGEINT AS BIGINT) AS band_val FROM sigs"
+        for k in range(4)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+    ),
+    toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM corpus),
+    dtok AS (SELECT DISTINCT tok FROM toks),
+    hashed AS (
+        SELECT tok,
+               {ob.xxh64_multi_expr('pp', 'bn', f'[{ob.SPARK_HASH_SEED}::HUGEINT]')}[1] AS hh
+        FROM {tok_chain}
+    ),
+    planes AS (
+        SELECT t.id,
+               {plane_sums}
+        FROM toks t JOIN hashed h ON t.tok = h.tok
+        GROUP BY t.id
+    ),
+    sigs AS (SELECT id, {sim} AS sim FROM planes),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", sql=_simhash_xxh_sql(), tags=("dedup", "extension"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dups (Hamming ≤ 3) via 16-bit band buckets over
-    the planted-duplicate corpus; exact popcount verification on
-    candidates. Rows-only (xxhash64); planted dups pytest-asserted at
-    Hamming 0."""
+    the planted-duplicate corpus, xxhash64 engine path — now fully
+    hash-checked: the oracle replays Spark's XXH64 per token and the
+    whole bitplane/banding/popcount pipeline in DuckDB SQL. Planted
+    dups additionally pytest-asserted at Hamming 0."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") % 17 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
