@@ -28,6 +28,15 @@ def main() -> None:
     from firefly_vcut_spark.session import get_spark
 
     spark = get_spark("firefly_vcut_spark-bench")
+    # Local-SF tuning: at sf<=0.1 every shuffle is KB-MB scale, so 32
+    # shuffle partitions just pay 32x task overhead per exchange (the
+    # CPU-bound stages pin their own parallelism via explicit
+    # repartition(n) and are unaffected). A real cluster keeps the
+    # default + AQE target size instead.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"),
+    )
     qs = all_queries()
     bench_names = [n for n, q in sorted(qs.items()) if HEADLINE_TAG in q.tags] or sorted(qs)
 

@@ -146,9 +146,16 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # Drop the superseded round's checkpoint blocks now: updated is
+        # itself checkpointed (lineage cut), so nothing references the
+        # old labels — without this every round leaks block-manager
+        # memory for the rest of the session.
+        labels.unpersist()
         labels = updated
         if changed == 0:
+            sym.unpersist()
             return labels
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -111,6 +111,12 @@ def minhash_lsh_candidates(
     swaps in the affine family over a char-fold shingle hash — same
     banding pipeline, integer arithmetic DuckDB can replay exactly,
     so the LSH join/grouping logic gets a full oracle check."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); a truncated trailing band silently changes "
+            "LSH sensitivity"
+        )
     rows_per_band = num_hashes // bands
     # Signature via explode + N flat hash columns + map-side MIN agg:
     # ~3× faster than the nested higher-order-function form
@@ -394,6 +400,64 @@ def ngram_jaccard_pairs(
             F.round(
                 F.col("n_inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard for an explicit candidate-pair
+    DataFrame (``id_a``, ``id_b`` — e.g. the output of
+    ``minhash_lsh_candidates``): the verification stage of the
+    LSH-then-verify recipe. Only documents that appear in some pair
+    are tokenized (semi-join pushdown), so the exact-set work is
+    O(candidates), never O(corpus²). Pairs with no shared token keep
+    jaccard = 0.0 rather than disappearing."""
+    wanted = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("toks"),
+        )
+        .join(wanted, "id")
+        .withColumn("n_toks", F.size("toks"))
+    )
+    tok = base.select("id", F.explode("toks").alias("tok"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(tok.alias("ta"), F.col("ta.id") == F.col("id_a"))
+        .join(
+            tok.alias("tb"),
+            (F.col("tb.id") == F.col("id_b")) & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    na = base.select(F.col("id").alias("id_a"), F.col("n_toks").alias("n_a"))
+    nb = base.select(F.col("id").alias("id_b"), F.col("n_toks").alias("n_b"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
                 4,
             ).alias("jaccard"),
         )

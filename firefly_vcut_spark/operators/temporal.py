@@ -89,19 +89,26 @@ def range_join_bucketed(
     is what keeps the per-interval bucket fan-out O(max_interval /
     bucket_width) instead of unbounded)."""
     n_buckets = max_interval // bucket_width + 2
+
+    def bucket_of(col: str):
+        # Integer bucket math: double division + cast can round a
+        # large integer timestamp (near 2^53) into the wrong bucket
+        # and silently drop matches; `div` stays in long arithmetic.
+        return F.expr(f"CAST(`{col}` AS BIGINT) div {bucket_width}")
+
     iv = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.col(interval_start) / bucket_width).cast("long"),
+                bucket_of(interval_start),
                 F.least(
-                    (F.col(interval_end) / bucket_width).cast("long"),
-                    (F.col(interval_start) / bucket_width).cast("long") + n_buckets,
+                    bucket_of(interval_end),
+                    bucket_of(interval_start) + n_buckets,
                 ),
             )
         ),
     )
-    pr = probes.withColumn("_bucket", (F.col(probe_ts) / bucket_width).cast("long"))
+    pr = probes.withColumn("_bucket", bucket_of(probe_ts))
     joined = pr.join(iv, [key, "_bucket"], "inner").filter(
         (F.col(probe_ts) >= F.col(interval_start))
         & (F.col(probe_ts) <= F.col(interval_end))

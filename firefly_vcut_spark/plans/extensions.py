@@ -149,7 +149,7 @@ def _minhash_xxh_sql(num_hashes: int = 32, bands: int = 8) -> str:
     """
 
 
-@query("dedup_minhash_lsh", sql=_minhash_xxh_sql(), tags=("dedup", "extension", "lsh"))
+@query("dedup_minhash_lsh", sql=_minhash_xxh_sql(), tags=("dedup", "extension", "lsh", "bench"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms)+LSH(8 bands) near-dup candidates over the
     planted-duplicate corpus, xxhash64 engine path — now fully
@@ -396,6 +396,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     return simhash_near_dups(d.unionByName(planted))
+
+
+def _lsh_then_verify_sql() -> str:
+    """Oracle for the chained LSH→exact-Jaccard recipe: the portable
+    MinHash banding SQL produces the candidate pairs, then exact
+    token-set Jaccard is computed for exactly those pairs (left join:
+    a candidate with no shared token keeps jaccard 0.0)."""
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+    ),
+    cands AS (SELECT id_a, id_b FROM ({_minhash_portable_sql()}) q),
+    wanted AS (
+        SELECT DISTINCT id
+        FROM (SELECT id_a AS id FROM cands UNION ALL SELECT id_b AS id FROM cands)
+    ),
+    base AS (
+        SELECT doc_id AS id, list_distinct({_TOKS}) AS toks,
+               len(list_distinct({_TOKS})) AS n_toks
+        FROM corpus JOIN wanted ON wanted.id = corpus.doc_id
+    ),
+    tok AS (SELECT id, unnest(toks) AS tok FROM base),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cands c
+        JOIN tok a ON a.id = c.id_a
+        JOIN tok b ON b.id = c.id_b AND a.tok = b.tok
+        GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (na.n_toks + nb.n_toks - coalesce(i.n_inter, 0)), 4) AS jaccard
+    FROM cands c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN base na ON na.id = c.id_a
+    JOIN base nb ON nb.id = c.id_b
+    """
+
+
+@query(
+    "dedup_lsh_then_verify",
+    sql=_lsh_then_verify_sql(),
+    tags=("dedup", "extension", "lsh"),
+)
+def dedup_lsh_then_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup recipe END TO END: MinHash+LSH banding
+    proposes candidate pairs (one bucket shuffle, no all-pairs join),
+    then exact token-set Jaccard verifies EXACTLY those pairs — the
+    verification cost is O(candidates), so the id-gap demo blocking of
+    dedup_ngram_jaccard is gone. Portable hash family ⇒ the whole
+    chain (banding AND verification) is DuckDB-hash-checked."""
+    from firefly_vcut_spark.operators.dedup import ngram_jaccard_verify
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted)
+    cands = minhash_lsh_candidates(corpus, hash_mode="portable")
+    return ngram_jaccard_verify(corpus, cands)
 
 
 @query(
@@ -728,7 +790,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
     FROM ranked WHERE rnk <= 3
     """,
-    tags=("text", "extension", "tfidf"),
+    tags=("text", "extension", "tfidf", "bench"),
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document. Term-stats plan: one shuffle

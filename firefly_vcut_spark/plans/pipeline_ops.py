@@ -277,7 +277,7 @@ def corpus_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(v) AS BIGINT) AS component
     FROM reach GROUP BY u
     """,
-    tags=("corpus", "dedup", "extension"),
+    tags=("corpus", "dedup", "extension", "bench"),
 )
 def corpus_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: near-dup pairs (token-set Jaccard
@@ -331,7 +331,7 @@ def corpus_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(doc_id) AS BIGINT) AS last_doc
     FROM pack GROUP BY source, bin_id
     """,
-    tags=("corpus", "extension"),
+    tags=("corpus", "extension", "bench"),
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches: next-fit fold of docs

@@ -28,7 +28,7 @@ from firefly_vcut_spark.sources.catalog import load_table
            l_quantity,
            round(l_extendedprice * (1 - l_discount), 4) AS net_price
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '2021-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND l_discount > 0.05
       AND l_returnflag = 'N'
     """,
@@ -41,7 +41,7 @@ def s1_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("2021-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
             & (F.col("l_discount") > 0.05)
             & (F.col("l_returnflag") == "N")
         )

@@ -251,18 +251,44 @@ def agg_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_distinct_users", sql=None, tags=("agg", "distinct", "sketch"))
+@query(
+    "agg_hll_distinct_users",
+    sql="""
+    SELECT strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS hll_ok
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "distinct", "sketch"),
+)
 def agg_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per day (1% rsd) — the
     mergeable-sketch scale path (one pass, fixed memory per group, no
-    distinct shuffle). Engine algorithms differ across systems →
-    rows-only; relative error vs the exact count asserted in pytest."""
+    distinct shuffle). HLL digests differ across engines, so the
+    oracle uses a TOLERANCE GATE: the query emits the exact count plus
+    ``hll_ok`` = (|approx/exact − 1| ≤ 5%), and the oracle expects
+    TRUE for every day — a hash-checkable assertion that the sketch
+    tracks the exact count (1% rsd ⇒ 5% is > 4 sigma)."""
     from firefly_vcut_spark.sources.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_format(F.window("ts", "1 day").start, "yyyy-MM-dd").alias("day"))
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+        )
+        .select(
+            "day",
+            "n_users_exact",
+            (
+                F.abs(
+                    F.col("n_users_approx") / F.col("n_users_exact") - 1.0
+                )
+                <= 0.05
+            ).alias("hll_ok"),
+        )
     )
 
 
