@@ -30,7 +30,6 @@ archive so stage 4's window pass shuffles once.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -43,6 +42,7 @@ from firefly_vcut_spark.functions.scalar import audio_object_key, epoch_to_shang
 from firefly_vcut_spark.operators.fuzzy import fuzzy_occurrence_scan
 from firefly_vcut_spark.operators.merge import insert_ignore, update_join, upsert_last_wins
 from firefly_vcut_spark.sources import fixtures as fx
+from firefly_vcut_spark.sources.snapshots import SnapshotStore
 
 SEGMENT_SCHEMA = T.StructType(
     [
@@ -90,42 +90,13 @@ class StageReport:
     details: dict = field(default_factory=dict)
 
 
-class Warehouse:
-    """Parquet snapshot store: read current, write next, atomic-enough
-    swap for local runs (directory versioning; a lakehouse MERGE slots
-    in here without touching stage logic)."""
-
-    def __init__(self, spark: SparkSession, root: str) -> None:
-        self.spark = spark
-        self.root = root
-        # recover current versions from disk so a fresh Warehouse over
-        # an existing root resumes instead of re-bootstrapping
-        self._versions: dict[str, int] = {}
-        if os.path.isdir(root):
-            for table in os.listdir(root):
-                versions = [
-                    int(v[1:])
-                    for v in os.listdir(os.path.join(root, table))
-                    if v.startswith("v") and v[1:].isdigit()
-                ]
-                if versions:
-                    self._versions[table] = max(versions)
-
-    def path(self, table: str) -> str:
-        v = self._versions.get(table, 0)
-        return os.path.join(self.root, table, f"v{v}")
-
-    def exists(self, table: str) -> bool:
-        return table in self._versions
-
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
-
-    def write(self, table: str, df: DataFrame) -> None:
-        v = self._versions.get(table, 0) + 1
-        target = os.path.join(self.root, table, f"v{v}")
-        df.write.mode("overwrite").parquet(target)
-        self._versions[table] = v
+class Warehouse(SnapshotStore):
+    """Crash-safe parquet snapshot store (sources/snapshots.py): read
+    resolves through the committed ``_LATEST`` pointer, write
+    materializes vN+1 fully before an atomic pointer flip — the
+    write-new-then-swap analog of the reference's in-place Postgres
+    transactions. A lakehouse MERGE (Delta/Iceberg) slots in here
+    without touching stage logic."""
 
 
 def stage_discover(wh: Warehouse, incoming: DataFrame) -> int:
@@ -324,5 +295,5 @@ def run_pipeline(
     report.streamed = stage_stream(wh, profiles, stream_limit)
     report.transcribed = stage_transcribe(wh, documents, n_docs)
     report.occurrences = stage_occurrences(wh, songs)
-    report.details["warehouse"] = {t: wh.path(t) for t in wh._versions}
+    report.details["warehouse"] = {t: wh.path(t) for t in wh.tables()}
     return report

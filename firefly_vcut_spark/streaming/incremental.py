@@ -154,28 +154,29 @@ def write_merge_sink(
     target_path: str,
     checkpoint_dir: str,
     key_cols: list[str],
-) -> None:
+) -> str:
     """foreachBatch idempotent-merge sink: each micro-batch last-wins
-    upserts into a parquet snapshot via the same merge recipe as the
-    batch pipeline (operators/merge.py semantics). foreachBatch may
-    re-deliver a batch after failure; the merge is idempotent, so the
-    sink is effectively exactly-once."""
+    upserts into a versioned parquet snapshot via the same merge recipe
+    as the batch pipeline (operators/merge.py semantics), committed
+    through SnapshotStore's write-new-then-atomic-pointer-flip.
+    foreachBatch may re-deliver a batch after failure; the merge is
+    idempotent and a crash mid-write leaves the previous committed
+    snapshot readable, so the sink is effectively exactly-once.
+
+    ``target_path`` is the snapshot root (versions live under it);
+    returns the committed snapshot directory to read."""
     from firefly_vcut_spark.operators.merge import upsert_last_wins
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
 
     spark = stream_df.sparkSession
+    store = SnapshotStore(spark, target_path)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            current = spark.read.parquet(target_path)
-        except Exception:
-            current = None
-        if current is None:
-            merged = batch_df.dropDuplicates(key_cols)
+        if store.exists("data"):
+            merged = upsert_last_wins(store.read("data"), batch_df, key_cols)
         else:
-            merged = upsert_last_wins(current, batch_df, key_cols)
-        merged.write.mode("overwrite").parquet(target_path + ".tmp")
-        final = spark.read.parquet(target_path + ".tmp")
-        final.write.mode("overwrite").parquet(target_path)
+            merged = batch_df.dropDuplicates(key_cols)
+        store.write("data", merged)
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)
@@ -184,6 +185,7 @@ def write_merge_sink(
         .start()
     )
     q.awaitTermination()
+    return store.path("data")
 
 
 RUNNING_STATE_SCHEMA = T.StructType(

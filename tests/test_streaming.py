@@ -134,17 +134,17 @@ def test_streaming_dedup_collapses_planted_duplicates(spark, sf_dir, tmp_path):
 def test_foreach_batch_merge_sink_is_idempotent(spark, sf_dir, tmp_path):
     from firefly_vcut_spark.streaming.incremental import write_merge_sink
 
-    target = str(tmp_path / "merged.parquet")
+    target = str(tmp_path / "merged")
 
     def run(ck):
         stream = read_events_stream(spark, sf_dir).select(
             "event_id", "event_type", "value"
         )
-        write_merge_sink(stream, target, str(tmp_path / ck), ["event_id"])
+        return write_merge_sink(stream, target, str(tmp_path / ck), ["event_id"])
 
-    run("ck_m1")
-    n1 = spark.read.parquet(target).count()
-    run("ck_m2")  # fresh checkpoint: same batch re-delivered end-to-end
-    n2 = spark.read.parquet(target).count()
+    p1 = run("ck_m1")
+    n1 = spark.read.parquet(p1).count()
+    p2 = run("ck_m2")  # fresh checkpoint: same batch re-delivered end-to-end
+    n2 = spark.read.parquet(p2).count()
     n_batch = load_table(spark, sf_dir, "events").count()
     assert n1 == n_batch and n2 == n_batch
