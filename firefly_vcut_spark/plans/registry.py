@@ -85,9 +85,75 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.temporal_sql  # noqa: F401
 
 
+# Registry-order insurance (VERDICT r1 item 8): the driver records the
+# FIRST 50 registry entries into CORRECTNESS_r{N}.json. This list pins
+# the 50-slot window by construction to hold at least one representative
+# of every SURVEY §2 family AND every extension family (streaming
+# windows, stream-static joins, temporal as-of/range joins, corpus prep,
+# extended aggregates, window functions), so driver truncation can never
+# hide a whole-family regression. Everything else follows in
+# registration order. tests/test_oracle.py gates family coverage.
+_FRONT50 = [
+    "s1_scan_pushdown",
+    "s2_nested_transcript_roundtrip",
+    "s3_partition_columns",
+    "j1_join_archive_profile",
+    "j2_join_3way_chain",
+    "j7_anti_join_unknown_bvids",
+    "j9_zip_join_paired_arrays",
+    "j10_update_join",
+    "a1_watermarks_per_profile",
+    "a3_array_agg_song_bridge",
+    "a4_argmax_best_event",
+    "a5_scalar_accumulators",
+    "a6_upsert_last_wins",
+    "t1_topk_recent_archives",
+    "set_union_accumulate",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q6_forecast_revenue",
+    "f1_regex_title_date",
+    "f2_bracket_title_extract",
+    "f6_epoch_shanghai_parts",
+    "fjson_props_extract",
+    "w1_flagship_occurrence_scan",
+    "w2_watermark_incremental",
+    "p_queue_needs_streaming",
+    "p9_prefix_filter",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_lsh_then_verify",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_ivf_kmeans_topk",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_tfidf_topterms",
+    "mm_decode_features",
+    "w_tumbling_counts",
+    "w_hypertable_rollup",
+    "st_enrich_stream_static",
+    "t_asof_join_latest_archive",
+    "t_range_join_events_in_live",
+    "agg_rollup_orders",
+    "agg_hll_distinct_users",
+    "win_running_totals",
+    "corpus_split_train_val_test",
+    "corpus_dedup_components",
+    "corpus_pack_sequences",
+]
+
+
 def all_queries() -> dict[str, Query]:
     _load_all()
-    return dict(_REGISTRY)
+    missing = [n for n in _FRONT50 if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"_FRONT50 names not registered: {missing}")
+    rest = [n for n in _REGISTRY if n not in set(_FRONT50)]
+    return {n: _REGISTRY[n] for n in [*_FRONT50, *rest]}
 
 
 def get_query(name: str) -> Query:

@@ -22,6 +22,33 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert res.ok, f"{name}: {res.detail}"
 
 
+def _family(name: str) -> str:
+    """Query-family bucket for first-50 coverage (driver truncation
+    insurance — registry._FRONT50)."""
+    if name.startswith("t_"):
+        return "temporal_join"
+    if name.startswith("p_queue"):
+        return "p"
+    if name.startswith("w_"):
+        return "stream_window"
+    if name.startswith(("w1", "w2")):
+        return name[:2]
+    for fam in ("corpus", "dedup", "ann", "text", "mm", "agg", "win", "st", "set", "fjson"):
+        if name.startswith(fam + "_"):
+            return fam
+    return name.split("_")[0].rstrip("0123456789")
+
+
+def test_every_family_represented_in_first_50():
+    """The driver records only the first 50 registry entries; every
+    query family must have a representative inside that window so
+    truncation can never hide a whole-family regression."""
+    names = list(QUERIES)
+    first50 = {_family(n) for n in names[:50]}
+    all_fams = {_family(n) for n in names}
+    assert all_fams <= first50, f"families outside first 50: {all_fams - first50}"
+
+
 def test_all_queries_have_unique_output_columns(spark, sf_dir):
     for name, q in QUERIES.items():
         cols = q.fn(spark, sf_dir).columns
