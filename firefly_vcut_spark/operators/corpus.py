@@ -76,76 +76,135 @@ def stratified_sample(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
-    """Min-label propagation + pointer jumping over an undirected edge
-    list → (id, component) where component = min id reachable. This is
-    the dedup-cluster resolution step: near-dup *pairs* (from
-    LSH/Jaccard) become *clusters*, from which one canonical doc per
-    cluster survives.
+    """Connected components over an undirected edge list → (id,
+    component) where component = min id reachable. This is the
+    dedup-cluster resolution step: near-dup *pairs* (from LSH/Jaccard)
+    become *clusters*, from which one canonical doc per cluster
+    survives.
 
-    Each round does (a) a neighbor-min hop (label join + min-agg, one
-    shuffle) and (b) a pointer-jumping compression hop (labels joined
-    to the labels OF their labels — components are always node ids, so
-    the lookup is a self-join). (a) alone needs graph-diameter rounds,
-    which for id-chained near-dup paths is O(n) — measured 36 rounds on
-    the sf0.1 corpus; (b) doubles the compressed distance per round,
-    giving O(log d): the same corpus converges in 7. Same recipe the
-    map-reduce CC family (Hash-to-Min, large-star/small-star) uses at
-    trillion-edge scale. Convergence is checked with a limit(1) probe
-    per round; each round localCheckpoint()s to keep lineage flat.
-    Raises if max_iter rounds don't converge — a silently truncated
-    clustering would merge/split clusters wrongly."""
-    # Materialize the symmetrized edge list ONCE: every propagation
-    # round joins against it, and without this the (possibly expensive)
-    # upstream pair pipeline would be recomputed per round per join.
+    Adaptive strategy, the same shape as Spark's own broadcast-join
+    decision: after materializing the symmetrized edge list, its size
+    picks the solver.
+
+    - ``<= local_threshold`` edges: collect the (long, long) pairs and
+      run union-find with path compression on the driver — one job,
+      zero iterative shuffles. 1M edges is ~16 MB of longs; the
+      distributed loop below would pay 2 shuffle joins + a checkpoint
+      per round for the same answer. (This is NOT the 100 TB path; the
+      gate routes any big graph away from it.)
+    - otherwise: min-label propagation + pointer jumping. Each round
+      does (a) a neighbor-min hop (edge-label join + min-agg) and (b) a
+      pointer-jumping compression hop (labels joined to the labels OF
+      their labels — components are always node ids, so the lookup is a
+      self-join). (a) alone needs graph-diameter rounds, which for
+      id-chained near-dup paths is O(n) — measured 36 rounds on the
+      sf0.1 corpus; (b) doubles the compressed distance per round,
+      giving O(log d): the same corpus converges in 7. Same recipe the
+      map-reduce CC family (Hash-to-Min, large-star/small-star) uses at
+      trillion-edge scale. Each round localCheckpoint()s to keep
+      lineage flat and carries the previous label so convergence is a
+      filter probe on the checkpoint, not an extra join. Raises if
+      max_iter rounds don't converge — a silently truncated clustering
+      would merge/split clusters wrongly.
+
+    Both solvers compute the identical fixpoint;
+    tests/test_corpus.py cross-checks them on random graphs."""
+    # Materialize the symmetrized edge list ONCE: the size gate and
+    # every propagation round read it, and without this the (possibly
+    # expensive) upstream pair pipeline would be recomputed per use.
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    try:
+        if sym.count() <= local_threshold:
+            return _cc_local(sym)
+        return _cc_distributed(sym, max_iter)
+    finally:
+        sym.unpersist()
+
+
+def _cc_local(sym: DataFrame) -> DataFrame:
+    """Driver union-find for gate-small graphs (min-id labeling)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.toLocalIterator():
+        u, v = int(row.u), int(row.v)
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id so the root IS the component label
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+
+    rows = [(x, find(x)) for x in parent]
+    return sym.sparkSession.createDataFrame(rows, "id long, component long")
+
+
+def _cc_distributed(sym: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
-            sym.join(labels, sym.v == labels.id)
+            sym.join(labels.select("id", "component"), sym.v == F.col("id"))
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        hopped = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-        )
-        # pointer jumping: component ids are node ids, so look up the
-        # current label of each node's label and take the min — the
-        # compressed path length doubles every round
-        parent = labels.select(
-            F.col("id").alias("p_id"), F.col("component").alias("p_component")
-        )
-        updated = (
-            hopped.join(parent, hopped.component == parent.p_id, "left")
+        hopped = (
+            labels.select("id", F.col("component").alias("old"))
+            .join(neighbor_min, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("p_component"), F.col("component")),
-                ).alias("component"),
+                "old",
+                F.least(F.col("old"), F.coalesce(F.col("nbr_min"), F.col("old"))).alias(
+                    "component"
+                ),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        if it == 0:
+            # round 1's pointer jump is the identity (every label still
+            # points to itself) — skip its join entirely
+            updated = hopped.localCheckpoint(eager=True)
+        else:
+            parent = labels.select(
+                F.col("id").alias("p_id"), F.col("component").alias("p_component")
+            )
+            updated = (
+                hopped.join(parent, hopped.component == parent.p_id, "left")
+                .select(
+                    "id",
+                    "old",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("p_component"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        # convergence probe straight off the checkpoint — the carried
+        # ``old`` column replaces the former labels-rejoin
+        changed = updated.filter(F.col("component") != F.col("old")).limit(1).count()
         # Drop the superseded round's checkpoint blocks now: updated is
         # itself checkpointed (lineage cut), so nothing references the
         # old labels — without this every round leaks block-manager
@@ -153,12 +212,8 @@ def connected_components(
         labels.unpersist()
         labels = updated
         if changed == 0:
-            sym.unpersist()
-            return labels
-    sym.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
-    )
+            return labels.select("id", "component")
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
 # --- sequence packing (next-fit) -------------------------------------------

@@ -377,12 +377,26 @@ def ngram_jaccard_pairs(
         F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
     tok = base.select("id", "block", F.explode("toks").alias("tok"))
-    a, b = tok.alias("a"), tok.alias("b")
+    # Band the id space into gap-width buckets and fold the bucket into
+    # the equi-join key: a pair with 0 < id_b - id_a <= gap always has
+    # bucket(b) ∈ {bucket(a), bucket(a)+1}, so replicating the A side
+    # into those two buckets keeps the join an equi-join while cutting
+    # the per-token candidate blowup from freq² (all co-occurrences of
+    # a token in a block) to only same/adjacent-bucket ones — the
+    # difference between O(f²) and O(f·gap/block_span) intermediate
+    # rows per common token.
+    bucket = F.floor(F.col("id") / F.lit(max_id_gap))
+    a = (
+        tok.withColumn("g", F.explode(F.array(bucket, bucket + 1)))
+        .alias("a")
+    )
+    b = tok.withColumn("g", bucket).alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.g") == F.col("b.g"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("b.id") - F.col("a.id") <= max_id_gap),
         )

@@ -7,6 +7,7 @@ graph. The cross-engine value checks live in the oracle suite
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from firefly_vcut_spark.operators import corpus as cp
@@ -83,7 +84,8 @@ def test_pack_respects_id_order(spark, sf_dir):
     assert viol == 0
 
 
-def test_connected_components_known_graph(spark):
+@pytest.mark.parametrize("threshold", [1_000_000, 0])  # local / distributed solver
+def test_connected_components_known_graph(spark, threshold):
     # two triangles bridged by one edge + an isolated pair:
     # {1,2,3,4,5,6} (bridge 3-4) and {10,11}
     edges = spark.createDataFrame(
@@ -91,7 +93,8 @@ def test_connected_components_known_graph(spark):
         ["id_a", "id_b"],
     )
     got = {
-        r["id"]: r["component"] for r in cp.connected_components(edges).collect()
+        r["id"]: r["component"]
+        for r in cp.connected_components(edges, local_threshold=threshold).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
 
@@ -125,7 +128,8 @@ def _uf_components(edges):
     return {x: find(x) for x in parent}
 
 
-def test_connected_components_vs_union_find_random(spark):
+@pytest.mark.parametrize("threshold", [1_000_000, 0])  # local / distributed solver
+def test_connected_components_vs_union_find_random(spark, threshold):
     import random
 
     rng = random.Random(7)
@@ -139,7 +143,8 @@ def test_connected_components_vs_union_find_random(spark):
         got = {
             r["id"]: r["component"]
             for r in cp.connected_components(
-                spark.createDataFrame(edges, ["id_a", "id_b"])
+                spark.createDataFrame(edges, ["id_a", "id_b"]),
+                local_threshold=threshold,
             ).collect()
         }
         assert got == expected
