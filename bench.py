@@ -62,18 +62,65 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Same-host DuckDB wall for each headline query's oracle twin, so
+    # the per-query ratio is measured on identical hardware/data rather
+    # than estimated. Queries without oracle SQL are skipped; a per-
+    # query watchdog interrupts oracles that blow the budget (some
+    # oracle twins emulate engine internals — bit-parallel LCS, xxhash
+    # in SQL — and are deliberately not fast).
+    oracle_timings: dict[str, float] = {}
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_BUDGET", "20"))
+    try:
+        import threading
+
+        import duckdb
+
+        con = duckdb.connect()
+        tables = [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]
+        for t in tables:
+            con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+
+        def timed_run(sql: str) -> float | None:
+            """Wall seconds for one execution, or None if over budget."""
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
+            try:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                return time.perf_counter() - t0
+            except duckdb.Error:
+                return None
+            finally:
+                timer.cancel()
+
+        for name in bench_names:
+            sql = qs[name].sql
+            if not sql:
+                continue
+            if timed_run(sql) is None:  # warm (IO cache, plan)
+                continue
+            walls = [timed_run(sql) for _ in range(reps)]
+            walls = [w for w in walls if w is not None]
+            if walls:
+                oracle_timings[name] = round(min(walls), 3)
+    except Exception:
+        pass  # oracle walls are informational; never break the JSON line
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    if oracle_timings:
+        out["duckdb_oracle_queries"] = oracle_timings
+        out["duckdb_oracle_total"] = round(sum(oracle_timings.values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
