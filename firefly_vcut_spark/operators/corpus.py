@@ -23,6 +23,7 @@ _SPLIT_MOD = 4294967296  # 2^32
 _SAMPLE_A = 40503
 _SAMPLE_B = 7
 _SAMPLE_P = 1_000_000_007
+_MIX_A = 2246822519  # xxhash prime 2; decorrelated from _SPLIT_A
 
 
 def split_bucket(key: Column, n_buckets: int = 1000) -> Column:
@@ -69,6 +70,73 @@ def stratified_sample(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
         .drop("h")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with an eval/benchmark set — the train-test-overlap removal
+    step every published LLM pipeline runs before training (n-gram
+    containment, the GPT-3/PaLM-style recipe).
+
+    Returns (id, n_shared_grams) for contaminated docs only, where
+    n_shared_grams counts the doc's DISTINCT n-grams that appear
+    anywhere in the benchmark set.
+
+    Scale shape: the benchmark side (eval suites — thousands of docs,
+    MBs of grams) collapses to a DISTINCT gram set and broadcasts; the
+    corpus side explodes grams map-side and broadcast-joins, so the
+    only shuffle is the final per-doc count of surviving (id, gram)
+    hits. 100 TB of corpus never shuffles text."""
+    from firefly_vcut_spark.operators.dedup import normalized_text
+    from firefly_vcut_spark.operators.text import word_ngrams
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(normalized_text(F.col(text_col)), " ")
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_ngrams(toks, n))).alias("gram"),
+        )
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (
+        grams(docs)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
+def mixture_hash(key: Column) -> Column:
+    """Uniform [0, 2^32) mix of an integer key (Knuth multiplicative
+    with a multiplier distinct from split_bucket's, so mixture keeps
+    are independent of train/val/test assignment). NOT the affine
+    sample_hash: that one is only rank-uniform (a sort key), while a
+    Bernoulli threshold needs value-uniformity — for small ids the
+    affine hash is tiny and would keep everything. key*A stays < 2^63
+    for ids up to ~4e9."""
+    return F.pmod(key.cast("long") * F.lit(_MIX_A), F.lit(_SPLIT_MOD))
+
+
+def mixture_sample(
+    df: DataFrame, target_frac: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Domain-mixture downsampling: keep each row with per-row
+    probability ``target_frac`` (a Column, typically keyed off the
+    domain/source), decided by the deterministic mixture hash — so the
+    kept set is stable across runs, engines, and cluster resizes, and
+    per-domain mixture weights are hit in expectation without any
+    shuffle (pure projection + filter; the DoReMi-style static-weight
+    remix step)."""
+    return df.filter(
+        mixture_hash(F.col(id_col))
+        < F.floor(target_frac * F.lit(float(_SPLIT_MOD))).cast("long")
     )
 
 

@@ -79,6 +79,21 @@ def lang_id_heuristic(text: Column) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array, space-joined; empty array when
+    the doc is shorter than n tokens (F.sequence would otherwise emit
+    a DESCENDING range and fabricate grams)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Content fingerprint: md5 digest of normalized text."""
     return F.md5(normalized_text(text))

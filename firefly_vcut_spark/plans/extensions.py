@@ -885,3 +885,77 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("source", "bigram", "cnt", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@query(
+    "text_repetition_scores",
+    sql=f"""
+    WITH norm AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g3 AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]
+                    ELSE []::VARCHAR[] END AS gs
+        FROM norm
+    ),
+    dup3 AS (
+        SELECT doc_id,
+               CASE WHEN len(gs) > 0
+                    THEN round(1 - len(list_distinct(gs)) * 1.0 / len(gs), 4)
+                    ELSE 0.0 END AS dup3_frac
+        FROM g3
+    ),
+    g2 AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2
+                           THEN [array_to_string(t[i:i+1], ' ')
+                                 for i in range(1, len(t))]
+                           ELSE []::VARCHAR[] END) AS gram
+        FROM norm
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+    t2 AS (
+        SELECT doc_id, round(max(cnt) * 1.0 / sum(cnt), 4) AS top2_frac
+        FROM c2 GROUP BY doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           d.dup3_frac AS dup3_frac,
+           coalesce(t2.top2_frac, 0.0) AS top2_frac
+    FROM dup3 d LEFT JOIN t2 USING (doc_id)
+    """,
+    tags=("text", "extension"),
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rule family): per doc,
+    (a) duplicate-3-gram fraction 1 - distinct/total, computed in the
+    token array in place — JVM codegen, zero shuffle — and (b) the
+    most-frequent-2-gram coverage fraction, one (doc_id, gram) count
+    shuffle + per-doc max/sum. Docs dominated by boilerplate repeat a
+    few n-grams; both signals feed the filter chain upstream of
+    training. 100 TB shape: (a) rides the scan; (b) shuffles only
+    (id, gram-hash, count) partial aggregates."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tx.tokens(F.col("text"))
+    g3 = tx.word_ngrams(toks, 3)
+    dup3 = d.select(
+        "doc_id",
+        F.when(
+            F.size(g3) > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(g3)) * 1.0 / F.size(g3), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup3_frac"),
+    )
+    g2 = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(tx.word_ngrams(toks, 2)).alias("gram")
+    )
+    counted = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    top2 = counted.groupBy("doc_id").agg(
+        F.round(F.max("cnt") * 1.0 / F.sum("cnt"), 4).alias("top2_frac")
+    )
+    return dup3.join(top2, "doc_id", "left").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("dup3_frac").cast("double").alias("dup3_frac"),
+        F.coalesce(F.col("top2_frac"), F.lit(0.0)).cast("double").alias("top2_frac"),
+    )

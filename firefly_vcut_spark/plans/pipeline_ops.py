@@ -487,3 +487,98 @@ def corpus_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@query(
+    "corpus_decontaminate",
+    sql=f"""
+    WITH norm AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 4
+                    THEN [array_to_string(t[i:i+3], ' ')
+                          for i in range(1, len(t) - 2)]
+                    ELSE []::VARCHAR[] END) AS gs
+        FROM norm
+    ),
+    g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0)
+    SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 41 <> 0
+    GROUP BY g.doc_id
+    """,
+    tags=("corpus", "extension"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train-test overlap removal): docs
+    with doc_id % 41 == 0 stand in for the held-out eval suite; every
+    other doc sharing any word 4-gram with that set is flagged with
+    its shared-gram count — the n-gram containment recipe published
+    LLM pipelines run before training. The benchmark gram set
+    broadcasts; corpus grams never shuffle (operators/corpus.py
+    decontaminate)."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    corpus = d.filter(F.col("doc_id") % 41 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return cp.decontaminate(corpus, bench, n=4).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("n_shared_grams").cast("bigint").alias("n_shared_grams"),
+    )
+
+
+@query(
+    "corpus_domain_mixture",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS s
+        FROM documents
+    ),
+    flagged AS (
+        SELECT source, s,
+               CASE WHEN (doc_id * {cp._MIX_A}) % {cp._SPLIT_MOD}
+                         < CAST(s % 5 + 1 AS BIGINT) * {cp._SPLIT_MOD} // 5
+                    THEN 1 ELSE 0 END AS kept
+        FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           round((s % 5 + 1) / 5.0, 4) AS target_frac,
+           round(sum(kept) * 1.0 / count(*), 4) AS actual_frac
+    FROM flagged GROUP BY source, s
+    """,
+    tags=("corpus", "extension"),
+)
+def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture remix (DoReMi-style static weights): each source
+    gets a target keep-fraction (here (src_num % 5 + 1)/5, a stand-in
+    for learned mixture weights); rows are kept by the deterministic
+    sample hash, so the remix is stable under re-runs and resizes and
+    needs no shuffle until the per-source audit rollup. Output
+    compares target vs realized fraction per source."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s = F.substring("source", 4, 10).cast("int")
+    frac = (s % 5 + 1) / F.lit(5.0)
+    total = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    kept = (
+        cp.mixture_sample(d, frac)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return (
+        total.join(kept, "source", "left")
+        .withColumn("s", F.substring("source", 4, 10).cast("int"))
+        .select(
+            "source",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round((F.col("s") % 5 + 1) / F.lit(5.0), 4).alias("target_frac"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0)) * 1.0 / F.col("n_total"), 4
+            ).alias("actual_frac"),
+        )
+    )

@@ -180,3 +180,45 @@ def test_pack_next_fit_vs_reference_random(spark):
         for r in cp.pack_next_fit(df, capacity=96).collect()
     }
     assert got == expected
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    from firefly_vcut_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame([("a b",), ("a b c d",)], ["text"])
+    toks = F.split(F.col("text"), " ")
+    out = df.select(word_ngrams(toks, 3).alias("g")).collect()
+    # 2 tokens < n=3 -> empty, NOT a descending-sequence artifact
+    assert out[0]["g"] == []
+    assert out[1]["g"] == ["a b c", "b c d"]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta yy"),  # shares a 4-gram
+            (2, "completely unrelated words here zz"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r["n_shared_grams"] for r in cp.decontaminate(docs, bench, n=4).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got
+
+
+def test_mixture_sample_fraction_and_nesting(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    kept_20 = {r.doc_id for r in cp.mixture_sample(df, F.lit(0.2)).collect()}
+    kept_50 = {r.doc_id for r in cp.mixture_sample(df, F.lit(0.5)).collect()}
+    # uniform-ish realized fractions (the affine sample_hash would
+    # keep everything for small ids — regression guard)
+    assert 0.15 < len(kept_20) / 2000 < 0.25
+    assert 0.45 < len(kept_50) / 2000 < 0.55
+    # thresholds nest: raising the target only ADDS docs
+    assert kept_20 <= kept_50
+    # deterministic across invocations
+    again = {r.doc_id for r in cp.mixture_sample(df, F.lit(0.2)).collect()}
+    assert again == kept_20
