@@ -582,3 +582,146 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("actual_frac"),
         )
     )
+
+
+@query(
+    "corpus_shuffle_shard",
+    sql=f"""
+    WITH d AS (
+        SELECT ((doc_id * {cp._MIX_A}) % {cp._SPLIT_MOD}) % 16 AS shard,
+               len({_TOKS}) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM d GROUP BY shard
+    """,
+    tags=("corpus", "extension"),
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — the final resharding
+    step before training: every doc lands in one of 16 output shards
+    by the uniform mixture hash, which (a) decorrelates shard from
+    source/time ordering (the 'global shuffle' training wants) and
+    (b) is stable across runs and cluster sizes. Pure projection +
+    one rollup shuffle; at 100 TB the same expression IS the
+    partitionBy column of the final write. Output audits per-shard
+    doc/token balance."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.pmod(cp.mixture_hash(F.col("doc_id")), F.lit(16)).alias("shard"),
+            tx.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(F.col("shard").cast("long").alias("shard"), "n_docs", "n_tokens")
+    )
+
+
+@query(
+    "corpus_canonical_docs",
+    sql=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id, source AS block, list_distinct({_TOKS}) AS toks
+      FROM documents
+    ),
+    sized AS (SELECT id, block, toks, len(toks) AS n_toks FROM base),
+    tok AS (SELECT id, block, n_toks, unnest(toks) AS tok FROM sized),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM tok a JOIN tok b
+        ON a.block = b.block AND a.tok = b.tok
+       AND a.id < b.id AND b.id - a.id <= 60
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sized na ON na.id = i.id_a
+      JOIN sized nb ON nb.id = i.id_b
+      WHERE round(CAST(i.n_inter AS DOUBLE)
+                  / (na.n_toks + nb.n_toks - i.n_inter), 4) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+      UNION SELECT id_a, id_a FROM pairs
+      UNION SELECT id_b, id_b FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+    q AS (
+      SELECT id, round(least(n_toks / 50.0, 1.0) * 40
+             + CASE WHEN sw >= 0.03 AND sw <= 0.40 THEN 30.0 ELSE 10.0 END
+             + CASE WHEN mt >= 3.0 AND mt <= 8.0 THEN 30.0 ELSE 10.0 END,
+             4) AS quality
+      FROM (
+        SELECT doc_id AS id,
+               len({_TOKS}) AS n_toks,
+               CAST(len(list_filter({_TOKS},
+                    x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                    AS DOUBLE) / greatest(len({_TOKS}), 1) AS sw,
+               CAST(list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+                    AS DOUBLE) / greatest(len({_TOKS}), 1) AS mt
+        FROM documents
+      )
+    ),
+    ranked AS (
+      SELECT c.component, c.id, q.quality,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, c.id ASC) AS rnk,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN q ON q.id = c.id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(id AS BIGINT) AS survivor_doc_id,
+           quality AS survivor_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rnk = 1
+    """,
+    tags=("corpus", "dedup", "extension"),
+)
+def corpus_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection per duplicate cluster: instead of
+    keeping the min-id doc, keep the HIGHEST-QUALITY member of each
+    near-dup component (quality-aware dedup — what production corpus
+    dedup actually ships). Composes the Jaccard-pair pipeline,
+    connected components, and the quality score; the per-cluster
+    argmax is a single max-of-ordering-struct aggregation (no window
+    sort), tie-broken toward the smaller doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, blocking=F.col("source"), max_id_gap=60).filter(
+        F.col("jaccard") >= 0.8
+    )
+    comps = cp.connected_components(pairs)
+    quality = d.select(
+        F.col("doc_id").alias("id"), tx.quality_score(F.col("text")).alias("quality")
+    )
+    ord_struct = F.struct(
+        F.col("quality").alias("q"),
+        (-F.col("id")).alias("negid"),
+        F.col("id").alias("did"),
+    )
+    return (
+        comps.join(quality, "id")
+        .groupBy("component")
+        .agg(
+            F.max(ord_struct).alias("best"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("best.did").cast("bigint").alias("survivor_doc_id"),
+            F.col("best.q").cast("double").alias("survivor_quality"),
+            "n_members",
+        )
+    )
