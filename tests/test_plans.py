@@ -88,3 +88,30 @@ def test_corpus_split_no_shuffle_before_rollup(spark, sf_dir):
     exchange (the final (split,lang) rollup)."""
     plan = _plan(spark, sf_dir, "corpus_split_train_val_test")
     assert plan.count("Exchange") == 1
+
+
+def test_jaccard_banded_join_no_cartesian(spark, sf_dir):
+    """The token self-join must be an equi-join carrying the id-gap
+    bucket in its keys — never a cartesian/nested-loop with the gap as
+    a post-filter (the freq^2 blowup)."""
+    plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    join_line = next(
+        ln
+        for ln in plan.splitlines()
+        if ("HashJoin" in ln or "SortMergeJoin" in ln) and "tok#" in ln
+    )
+    assert "g#" in join_line  # bucket column is part of the join key
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """Corpus side must never shuffle its grams: the benchmark gram
+    set broadcasts and the only Exchange is the per-doc count."""
+    plan = _plan(spark, sf_dir, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_shard_single_rollup_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_shuffle_shard")
+    assert plan.count("Exchange") <= 2  # rollup + AQE read, nothing else
