@@ -550,7 +550,7 @@ _ANN_Q = """
     SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5
     """,
-    tags=("ann", "extension", "vector", "bench"),
+    tags=("ann", "extension", "vector", "bench", "latency"),
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5: broadcast query set (every 50th
@@ -790,7 +790,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
     FROM ranked WHERE rnk <= 3
     """,
-    tags=("text", "extension", "tfidf", "bench"),
+    tags=("text", "extension", "tfidf", "bench", "latency"),
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document. Term-stats plan: one shuffle

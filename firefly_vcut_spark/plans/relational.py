@@ -473,7 +473,7 @@ def a5_scalar_accumulators(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    tags=("agg", "bench"),
+    tags=("agg", "bench", "latency"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: the scan+hash-agg throughput
@@ -518,7 +518,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, l_orderkey ASC
     LIMIT 10
     """,
-    tags=("join", "agg", "topk", "bench"),
+    tags=("join", "agg", "topk", "bench", "latency"),
 )
 def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style join+agg+top-k: the multi-join throughput probe
