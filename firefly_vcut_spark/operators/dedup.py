@@ -111,6 +111,40 @@ def minhash_lsh_candidates(
     swaps in the affine family over a char-fold shingle hash — same
     banding pipeline, integer arithmetic DuckDB can replay exactly,
     so the LSH join/grouping logic gets a full oracle check."""
+    banded = minhash_band_table(
+        docs, text_col, id_col, num_hashes, bands, hash_mode
+    ).select("id", F.explode("bands").alias("band")).select(
+        "id", "band.band_id", "band.band_hash"
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc banded MinHash signature: (id, bands) where bands is an
+    array<struct<band_id int, band_hash long>> — the compact unit an
+    LSH index stores per admitted doc (8 longs, never the text). Both
+    the batch candidate join (minhash_lsh_candidates) and the
+    streaming incremental dedup sink build on this."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands "
@@ -167,30 +201,12 @@ def minhash_lsh_candidates(
     sig = hashed.groupBy("id").agg(
         F.array(*[F.min(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
-    banded = sig.select(
+    return sig.select(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"), band_hash(b).alias("band_hash")
-                ),
-            )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
-    left = banded.alias("a")
-    right = banded.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(b.alias("band_id"), band_hash(b).alias("band_hash")),
+        ).alias("bands"),
     )
 
 

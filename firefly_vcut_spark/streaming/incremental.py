@@ -232,3 +232,101 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def write_dedup_sink(
+    stream_df: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> str:
+    """Streaming incremental near-dup dedup: continuous-ingest MinHash
+    LSH against the accumulated corpus — the always-on analog of
+    corpus_incremental_dedup.
+
+    Per micro-batch:
+    1. band each incoming doc (minhash_band_table: 8 longs per doc,
+       text never shuffles);
+    2. drop docs sharing ANY band with a previously ADMITTED doc
+       (band join against the store, greedy first-writer-wins);
+    3. drop in-batch near-dups (lowest id in a sharing pair survives —
+       greedy, so a chain a~b~c admits a and may admit c if c shares
+       no band with a; same semantics as any streaming dedup that
+       decides per-arrival);
+    4. drop re-delivered ids (anti-join on id vs the store), making
+       batch re-delivery a no-op;
+    5. append survivors (id, text, bands) to the store in ONE atomic
+       SnapshotStore commit — no two-table race between corpus and
+       index, and a crash leaves the previous snapshot readable.
+
+    At scale the store is a Delta/Iceberg table appended per batch
+    (bands as an indexed column); the snapshot rewrite here is the
+    local stand-in, same dataflow. Returns the committed snapshot
+    path; corpus = select id, text from it."""
+    from firefly_vcut_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_candidates,
+    )
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    spark = stream_df.sparkSession
+    store = SnapshotStore(spark, store_root)
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([id_col])
+        banded = minhash_band_table(
+            batch_df, text_col, id_col, num_hashes, bands
+        ).withColumnRenamed("id", id_col)
+        new = batch_df.join(banded, id_col)
+
+        if store.exists("admitted"):
+            admitted = store.read("admitted")
+            stored_bands = admitted.select(
+                F.explode("bands").alias("band")
+            ).select("band.band_id", "band.band_hash").distinct()
+            new_exploded = new.select(
+                id_col, F.explode("bands").alias("band")
+            ).select(id_col, "band.band_id", "band.band_hash")
+            dup_ids = (
+                new_exploded.join(
+                    stored_bands, ["band_id", "band_hash"], "left_semi"
+                )
+                .select(id_col)
+                .distinct()
+            )
+            new = new.join(dup_ids, id_col, "left_anti").join(
+                admitted.select(id_col), id_col, "left_anti"
+            )
+
+        # in-batch greedy: any doc sharing a band with a lower-id
+        # batch member is dropped (candidates via the same band join)
+        losers = (
+            minhash_lsh_candidates(
+                new.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+                num_hashes=num_hashes,
+                bands=bands,
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = new.join(losers, id_col, "left_anti").select(
+            id_col, text_col, "bands"
+        )
+
+        if store.exists("admitted"):
+            merged = store.read("admitted").unionByName(survivors)
+        else:
+            merged = survivors
+        store.write("admitted", merged)
+
+    q = (
+        stream_df.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.path("admitted")

@@ -148,3 +148,62 @@ def test_foreach_batch_merge_sink_is_idempotent(spark, sf_dir, tmp_path):
     n2 = spark.read.parquet(p2).count()
     n_batch = load_table(spark, sf_dir, "events").count()
     assert n1 == n_batch and n2 == n_batch
+
+
+def test_streaming_incremental_dedup_sink(spark, tmp_path):
+    """Continuous-ingest near-dup dedup: batch 2's exact copy and
+    near-copy of admitted docs are dropped, fresh docs are admitted,
+    re-delivered ids are no-ops, and re-running the same batch leaves
+    the store unchanged."""
+    from firefly_vcut_spark.streaming.incremental import write_dedup_sink
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen"
+    )
+    third = (
+        "red orange yellow green blue indigo violet cyan magenta "
+        "white black gray silver gold"
+    )
+    fresh = (
+        "spark duck query table shuffle broadcast partition join "
+        "window agg scan sort merge stream"
+    )
+    # change only the final token: 11/12 shingles shared (a mid-string
+    # edit perturbs 3 shingles and can legitimately miss at 32x8 LSH)
+    near_copy = base.replace(" xi", " CHANGED")
+
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(1, base), (2, other), (3, third)], "doc_id long, text string"
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(10, near_copy), (11, fresh), (1, base), (12, other)],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+
+    store = str(tmp_path / "store")
+
+    def run(src, ck):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        return write_dedup_sink(stream, store, str(tmp_path / ck))
+
+    p1 = run(b1, "ck1")
+    assert {r.doc_id for r in spark.read.parquet(p1).collect()} == {1, 2, 3}
+
+    p2 = run(b2, "ck2")
+    admitted = {r.doc_id for r in spark.read.parquet(p2).collect()}
+    # 10 = near-copy of 1 (LSH hit), 12 = exact copy of 2, 1 = re-delivery
+    assert admitted == {1, 2, 3, 11}
+
+    p3 = run(b2, "ck3")  # full re-delivery of batch 2
+    assert {r.doc_id for r in spark.read.parquet(p3).collect()} == {1, 2, 3, 11}
+
+    # store survives a reader-side check: bands column intact
+    df = spark.read.parquet(p3)
+    assert "bands" in df.columns and df.filter("size(bands) = 8").count() == 4
