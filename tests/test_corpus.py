@@ -222,3 +222,17 @@ def test_mixture_sample_fraction_and_nesting(spark):
     # deterministic across invocations
     again = {r.doc_id for r in cp.mixture_sample(df, F.lit(0.2)).collect()}
     assert again == kept_20
+
+
+def test_mixture_sample_independent_of_split(spark):
+    """mixture_hash uses a different multiplier than split_bucket so a
+    domain remix cannot systematically starve one train/val/test split:
+    the keep rate inside each split must track the global target."""
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["doc_id"])
+    labeled = df.withColumn("split", cp.split_label(F.col("doc_id")))
+    kept = cp.mixture_sample(labeled, F.lit(0.5))
+    totals = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    kept_n = {r["split"]: r["n"] for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    for split, n in totals.items():
+        rate = kept_n.get(split, 0) / n
+        assert 0.4 < rate < 0.6, (split, rate)
