@@ -124,6 +124,20 @@ def mixture_hash(key: Column) -> Column:
     return F.pmod(key.cast("long") * F.lit(_MIX_A), F.lit(_SPLIT_MOD))
 
 
+def shard_bucket(key: Column, n_shards: int = 16) -> Column:
+    """Map an integer key to one of ``n_shards`` output shards using
+    the HIGH bits of the mixture hash (fixed-point range mapping:
+    ``(hash * n) >> 32``). Knuth multiplicative hashing is only
+    equidistributed in its high bits — taking ``hash % n`` with an odd
+    multiplier and n | 2^32 degenerates to a fixed permutation of
+    ``key % n`` (sequential ids round-robin in original order), which
+    defeats the global-shuffle purpose. High bits of ``key * A mod
+    2^32`` advance by ~0.523*n per sequential id (a Weyl sequence), so
+    shard genuinely decorrelates from source/time ordering. hash*n
+    stays < 2^63 for n up to ~2^30."""
+    return F.shiftright(mixture_hash(key) * F.lit(int(n_shards)), 32)
+
+
 def mixture_sample(
     df: DataFrame, target_frac: Column, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -160,12 +174,15 @@ def connected_components(
     decision: after materializing the symmetrized edge list, its size
     picks the solver.
 
-    - ``<= local_threshold`` edges: collect the (long, long) pairs and
-      run union-find with path compression on the driver — one job,
-      zero iterative shuffles. 1M edges is ~16 MB of longs; the
-      distributed loop below would pay 2 shuffle joins + a checkpoint
-      per round for the same answer. (This is NOT the 100 TB path; the
-      gate routes any big graph away from it.)
+    - ``<= local_threshold`` UNDIRECTED edges (the gate halves the
+      symmetrized row count before comparing, so the threshold means
+      what a caller thinks it means): collect the (long, long) pairs
+      and run union-find with path compression on the driver — one
+      job, zero iterative shuffles. 1M undirected edges is ~32 MB of
+      symmetrized longs; the distributed loop below would pay 2
+      shuffle joins + a checkpoint per round for the same answer.
+      (This is NOT the 100 TB path; the gate routes any big graph
+      away from it.)
     - otherwise: min-label propagation + pointer jumping. Each round
       does (a) a neighbor-min hop (edge-label join + min-agg) and (b) a
       pointer-jumping compression hop (labels joined to the labels OF
@@ -193,7 +210,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
-        if sym.count() <= local_threshold:
+        # sym holds BOTH directions of every edge: halve before the
+        # gate so local_threshold counts undirected edges as documented
+        if sym.count() <= 2 * local_threshold:
             return _cc_local(sym)
         return _cc_distributed(sym, max_iter)
     finally:

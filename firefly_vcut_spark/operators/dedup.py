@@ -448,7 +448,9 @@ def ngram_jaccard_verify(
     LSH-then-verify recipe. Only documents that appear in some pair
     are tokenized (semi-join pushdown), so the exact-set work is
     O(candidates), never O(corpus²). Pairs with no shared token keep
-    jaccard = 0.0 rather than disappearing."""
+    jaccard = 0.0 rather than disappearing; a pair referencing an id
+    with no row in ``docs`` (caller passed pairs from a different
+    corpus) keeps jaccard = NULL — visible, never silently dropped."""
     wanted = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
@@ -480,8 +482,10 @@ def ngram_jaccard_verify(
     return (
         pairs.select("id_a", "id_b")
         .join(inter, ["id_a", "id_b"], "left")
-        .join(na, "id_a")
-        .join(nb, "id_b")
+        # LEFT joins: an id with no doc row must surface as NULL
+        # jaccard, not vanish from the output (contract above)
+        .join(na, "id_a", "left")
+        .join(nb, "id_b", "left")
         .select(
             "id_a",
             "id_b",

@@ -588,7 +588,8 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_shuffle_shard",
     sql=f"""
     WITH d AS (
-        SELECT ((doc_id * {cp._MIX_A}) % {cp._SPLIT_MOD}) % 16 AS shard,
+        SELECT (((doc_id * {cp._MIX_A}) % {cp._SPLIT_MOD}) * 16)
+                 // {cp._SPLIT_MOD} AS shard,
                len({_TOKS}) AS n_tokens
         FROM documents
     )
@@ -602,16 +603,19 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + sharding — the final resharding
     step before training: every doc lands in one of 16 output shards
-    by the uniform mixture hash, which (a) decorrelates shard from
-    source/time ordering (the 'global shuffle' training wants) and
-    (b) is stable across runs and cluster sizes. Pure projection +
+    by the HIGH bits of the uniform mixture hash ((hash * 16) >> 32 —
+    see ``corpus.shard_bucket``: low bits of a Knuth multiplicative
+    hash are a fixed permutation of doc_id mod 16 and would round-robin
+    sequential ids in original order), which (a) decorrelates shard
+    from source/time ordering (the 'global shuffle' training wants)
+    and (b) is stable across runs and cluster sizes. Pure projection +
     one rollup shuffle; at 100 TB the same expression IS the
     partitionBy column of the final write. Output audits per-shard
     doc/token balance."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select(
-            F.pmod(cp.mixture_hash(F.col("doc_id")), F.lit(16)).alias("shard"),
+            cp.shard_bucket(F.col("doc_id"), 16).alias("shard"),
             tx.token_count(F.col("text")).alias("n_tokens"),
         )
         .groupBy("shard")

@@ -236,3 +236,30 @@ def test_mixture_sample_independent_of_split(spark):
     for split, n in totals.items():
         rate = kept_n.get(split, 0) / n
         assert 0.4 < rate < 0.6, (split, rate)
+
+def test_shard_bucket_not_round_robin(spark):
+    """shard_bucket must use the HIGH bits of the multiplicative hash.
+    The low-bits variant (hash % 16) is a fixed permutation of
+    doc_id % 16: sequential ids round-robin in original order and every
+    shard holds exactly the ids ≡ r (mod 16) — no global shuffle at
+    all. High bits advance as a Weyl sequence, so id and id+16 must
+    land in DIFFERENT shards for many ids, and balance still holds."""
+    df = spark.createDataFrame([(i,) for i in range(1600)], ["doc_id"])
+    shards = {
+        r["doc_id"]: r["shard"]
+        for r in df.select(
+            "doc_id", cp.shard_bucket(F.col("doc_id"), 16).alias("shard")
+        ).collect()
+    }
+    # not a function of doc_id % 16
+    moved = sum(1 for i in range(1584) if shards[i] != shards[i + 16])
+    assert moved > 500, f"shard looks residue-locked: only {moved} of 1584 moved"
+    # consecutive ids are not a cyclic walk of all 16 shards either
+    windows = {tuple(shards[i + j] for j in range(16)) for i in range(0, 1584, 16)}
+    assert len(windows) > 10, "consecutive-16 windows repeat a fixed pattern"
+    # ... while staying balanced
+    from collections import Counter
+
+    counts = Counter(shards.values())
+    assert len(counts) == 16
+    assert max(counts.values()) < 2 * min(counts.values())
