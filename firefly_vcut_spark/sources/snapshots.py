@@ -55,12 +55,24 @@ recipes in operators/merge.py are already the MERGE join semantics).
 from __future__ import annotations
 
 import os
+import re
 import shutil
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST = "_LATEST"
 _RETIRED = "_RETIRED"
+_TAG_RE = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def _seg_num(name: str) -> int | None:
+    """s000003 or s000003-<tag> -> 3; None if not a segment dir name."""
+    if not name.startswith("s"):
+        return None
+    digits = name[1:].split("-", 1)[0]
+    return int(digits) if digits.isdigit() else None
 
 
 def _fsync_path(path: str) -> None:
@@ -173,11 +185,25 @@ class SnapshotStore:
         self._vacuum(table, nxt)
         return nxt
 
-    def append_segment(self, table: str, df: DataFrame) -> str:
+    def append_segment(
+        self,
+        table: str,
+        df: DataFrame,
+        tag: str | None = None,
+        merge_keys: list[str] | None = None,
+    ) -> str:
         """Append ``df`` as a new segment — O(batch) bytes written, the
         base is never rewritten. The table must already exist (write an
         empty/base snapshot first: appends need a schema-bearing base).
-        Auto-compacts once ``compact_segments`` segments accumulate.
+        Auto-compacts once ``compact_segments`` segments accumulate
+        (with ``merge_keys`` resolution if given — pass the same keys a
+        ``read_last_wins`` reader would use, or compaction loses the
+        segment-recency ordering).
+
+        ``tag`` makes the append idempotent: if a committed segment
+        already carries the tag, the call is a no-op returning that
+        segment (the Delta txnAppId/txnVersion pattern for exactly-once
+        foreachBatch sinks — tag with a per-query id + batch id).
         Returns the committed segment name."""
         version, segs = self._state(table)
         if version is None:
@@ -185,36 +211,79 @@ class SnapshotStore:
                 f"append_segment needs a committed base for {table!r}; "
                 "write() the first batch as v1"
             )
+        if tag is not None:
+            if not _TAG_RE.match(tag):
+                raise ValueError(f"segment tag must be [A-Za-z0-9_]+, got {tag!r}")
+            done = [s for s in segs if s.endswith(f"-{tag}")]
+            if done:
+                return done[0]
         tdir = self._table_dir(table)
         # orphan segment dirs from crashes may exist uncommitted: pick
         # max(on-disk, committed) + 1 so we never adopt one silently
-        on_disk = [
-            int(n[1:])
-            for n in os.listdir(tdir)
-            if n.startswith("s") and n[1:].isdigit()
-        ]
-        nxt = max(on_disk, default=0) + 1
-        name = f"s{nxt:06d}"
+        on_disk = [n for n in os.listdir(tdir) if _seg_num(n) is not None]
+        nxt = max((_seg_num(n) for n in on_disk), default=0) + 1
+        name = f"s{nxt:06d}" + (f"-{tag}" if tag else "")
         target = os.path.join(tdir, name)
         df.write.mode("overwrite").parquet(target)
         _fsync_tree(target)
         self._commit(table, version, segs + [name])
         if len(segs) + 1 >= self.compact_segments:
-            self.compact(table)
+            self.compact(table, merge_keys=merge_keys)
         return name
 
-    def compact(self, table: str) -> int:
+    def read_last_wins(self, table: str, keys: list[str]) -> DataFrame:
+        """The committed view under UPSERT semantics: rows in later
+        segments supersede same-key rows in earlier segments / the
+        base (merge-on-read, the Hudi-MOR / Delta-CDF resolution
+        pattern). Each segment is assumed key-unique (the writer
+        dedups in-batch); resolution cost grows with segment count,
+        which auto-compaction bounds at ``compact_segments``."""
+        version, segs = self._state(table)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot for {table!r}")
+        tdir = self._table_dir(table)
+        parts = [os.path.join(tdir, f"v{version}")] + [
+            os.path.join(tdir, s) for s in segs
+        ]
+        dfs = [
+            self.spark.read.parquet(self._verified(p)).withColumn(
+                "_seq", F.lit(i)
+            )
+            for i, p in enumerate(parts)
+        ]
+        u = reduce(DataFrame.unionByName, dfs)
+        cols = [c for c in u.columns if c != "_seq"]
+        val_cols = [c for c in cols if c not in keys]
+        return (
+            u.groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.struct(*val_cols), F.struct("_seq", *val_cols)
+                ).alias("_v")
+            )
+            .select(*keys, *[F.col(f"_v.{c}").alias(c) for c in val_cols])
+            .select(*cols)
+        )
+
+    def compact(self, table: str, merge_keys: list[str] | None = None) -> int:
         """Fold base + segments into the next base version in ONE
         atomic manifest flip (new version line + empty segment list).
-        Folded segments are retired, not deleted: in-flight readers of
-        the prior view still reference them; _vacuum removes them once
-        every base version that used them is pruned."""
+        With ``merge_keys``, folding applies last-wins resolution (so
+        an upsert table compacts to its resolved view); without, plain
+        union (append-only tables). Folded segments are retired, not
+        deleted: in-flight readers of the prior view still reference
+        them; _vacuum removes them once every base version that used
+        them is pruned."""
         version, segs = self._state(table)
         if version is None:
             raise FileNotFoundError(f"no committed snapshot for {table!r}")
         if not segs:
             return version
-        merged = self.read(table)
+        merged = (
+            self.read_last_wins(table, merge_keys)
+            if merge_keys
+            else self.read(table)
+        )
         nxt = version + 1
         target = os.path.join(self._table_dir(table), f"v{nxt}")
         merged.write.mode("overwrite").parquet(target)

@@ -24,19 +24,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from firefly_vcut_spark.sources.catalog import _EVENTS_RAW, table_path
+from firefly_vcut_spark.sources.catalog import (
+    _EVENTS_RAW,
+    events_ts_is_nanos,
+    table_path,
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns-timestamp read
-    via the same raw-nanos conversion as the batch catalog)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+    """File-source stream over the events parquet, choosing the same
+    footer-conditional ingestion as the batch catalog: native
+    TimestampType for timestamp[us] data, raw-nanos conversion for the
+    legacy TIMESTAMP(NANOS) vintage."""
+    from firefly_vcut_spark.schemas import TABLE_SCHEMAS
+
+    if events_ts_is_nanos(table_path(sf_dir, "events")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(
@@ -149,22 +163,46 @@ def deduped_events(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     return src.dropDuplicates(["event_id"])
 
 
+def _sink_tag(checkpoint_dir: str, batch_id: int) -> str:
+    """Idempotency tag for a foreachBatch append: per-query id (stable
+    hash of the checkpoint path — batch ids are only meaningful within
+    one checkpoint lineage) + batch id. Re-delivery of a batch after a
+    crash hits the same tag and the store skips the duplicate append —
+    the Delta txnAppId/txnVersion exactly-once pattern."""
+    import hashlib
+
+    qid = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    return f"q{qid}_b{batch_id}"
+
+
 def write_merge_sink(
     stream_df: DataFrame,
     target_path: str,
     checkpoint_dir: str,
     key_cols: list[str],
+    compact_on_completion: bool = True,
 ) -> str:
-    """foreachBatch idempotent-merge sink: each micro-batch last-wins
-    upserts into a versioned parquet snapshot via the same merge recipe
-    as the batch pipeline (operators/merge.py semantics), committed
-    through SnapshotStore's write-new-then-atomic-pointer-flip.
-    foreachBatch may re-deliver a batch after failure; the merge is
-    idempotent and a crash mid-write leaves the previous committed
-    snapshot readable, so the sink is effectively exactly-once.
+    """foreachBatch idempotent-merge sink, O(batch) bytes per batch:
+    each micro-batch is key-deduped (upsert_last_wins against an empty
+    target — same tie-break as the batch pipeline) and APPENDED as a
+    tagged SnapshotStore segment; the base is never rewritten in the
+    ingest path. Readers resolve last-wins across segments via
+    ``read_last_wins`` (merge-on-read); compaction folds the resolved
+    view into the next base — automatically every ``compact_segments``
+    appends, and once on drain completion here so the returned path is
+    a single resolved directory. At scale that final fold is the async
+    OPTIMIZE job, not part of ingest.
+
+    Crash-safety: a crash mid-append leaves an orphan segment no
+    manifest references; re-delivery of a batch re-appends under the
+    same tag and is skipped. So the sink is exactly-once without ever
+    reading, rewriting, or even touching the accumulated store in the
+    hot path.
 
     ``target_path`` is the snapshot root (versions live under it);
-    returns the committed snapshot directory to read."""
+    returns the committed resolved snapshot directory to read (or,
+    with ``compact_on_completion=False``, the snapshot ROOT — read it
+    via ``SnapshotStore(spark, root).read_last_wins("data", keys)``)."""
     from firefly_vcut_spark.operators.merge import upsert_last_wins
     from firefly_vcut_spark.sources.snapshots import SnapshotStore
 
@@ -172,11 +210,16 @@ def write_merge_sink(
     store = SnapshotStore(spark, target_path)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = upsert_last_wins(batch_df.limit(0), batch_df, key_cols)
         if store.exists("data"):
-            merged = upsert_last_wins(store.read("data"), batch_df, key_cols)
+            store.append_segment(
+                "data",
+                batch,
+                tag=_sink_tag(checkpoint_dir, batch_id),
+                merge_keys=key_cols,
+            )
         else:
-            merged = batch_df.dropDuplicates(key_cols)
-        store.write("data", merged)
+            store.write("data", batch)
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)
@@ -185,6 +228,9 @@ def write_merge_sink(
         .start()
     )
     q.awaitTermination()
+    if not compact_on_completion:
+        return target_path
+    store.compact("data", merge_keys=key_cols)
     return store.path("data")
 
 
@@ -242,6 +288,7 @@ def write_dedup_sink(
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
+    compact_on_completion: bool = True,
 ) -> str:
     """Streaming incremental near-dup dedup: continuous-ingest MinHash
     LSH against the accumulated corpus — the always-on analog of
@@ -252,20 +299,30 @@ def write_dedup_sink(
        text never shuffles);
     2. drop docs sharing ANY band with a previously ADMITTED doc
        (band join against the store, greedy first-writer-wins);
-    3. drop in-batch near-dups (lowest id in a sharing pair survives —
-       greedy, so a chain a~b~c admits a and may admit c if c shares
-       no band with a; same semantics as any streaming dedup that
-       decides per-arrival);
+    3. drop in-batch near-dups: any batch doc sharing a band with a
+       LOWER-id batch doc is dropped, so a chain a~b~c admits only a
+       (b drops for sharing with a; c drops for sharing with b, even
+       if c shares no band with a). Conservative transitive policy —
+       never admits a near-dup of an admitted doc, at the cost of
+       sometimes dropping a doc whose only neighbor was itself
+       dropped (pinned by tests/test_streaming.py chain test);
     4. drop re-delivered ids (anti-join on id vs the store), making
        batch re-delivery a no-op;
-    5. append survivors (id, text, bands) to the store in ONE atomic
-       SnapshotStore commit — no two-table race between corpus and
-       index, and a crash leaves the previous snapshot readable.
+    5. APPEND survivors (id, text, bands) as one tagged SnapshotStore
+       segment — O(batch) bytes written per batch, the accumulated
+       store is never rewritten in the ingest path; the band probe in
+       step 2 reads base ∪ segments. A crash mid-append leaves an
+       orphan no manifest references; re-delivery re-appends under
+       the same tag and is skipped.
 
-    At scale the store is a Delta/Iceberg table appended per batch
-    (bands as an indexed column); the snapshot rewrite here is the
-    local stand-in, same dataflow. Returns the committed snapshot
-    path; corpus = select id, text from it."""
+    This is exactly the Delta/Iceberg append-per-batch dataflow (bands
+    as an indexed column); compaction folds segments into the next
+    base — automatically every ``compact_segments`` appends, and once
+    on drain completion so the returned path is a single directory (at
+    scale: the async OPTIMIZE job, not part of ingest). Returns the
+    committed snapshot path (or, with ``compact_on_completion=False``,
+    the store ROOT — read via ``SnapshotStore.read("admitted")``);
+    corpus = select id, text from it."""
     from firefly_vcut_spark.operators.dedup import (
         minhash_band_table,
         minhash_lsh_candidates,
@@ -301,8 +358,8 @@ def write_dedup_sink(
                 admitted.select(id_col), id_col, "left_anti"
             )
 
-        # in-batch greedy: any doc sharing a band with a lower-id
-        # batch member is dropped (candidates via the same band join)
+        # in-batch transitive drop: every id_b of a candidate pair
+        # goes (see step 3 in the docstring for the chain semantics)
         losers = (
             minhash_lsh_candidates(
                 new.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
@@ -317,10 +374,11 @@ def write_dedup_sink(
         )
 
         if store.exists("admitted"):
-            merged = store.read("admitted").unionByName(survivors)
+            store.append_segment(
+                "admitted", survivors, tag=_sink_tag(checkpoint_dir, batch_id)
+            )
         else:
-            merged = survivors
-        store.write("admitted", merged)
+            store.write("admitted", survivors)
 
     q = (
         stream_df.writeStream.foreachBatch(dedup_batch)
@@ -329,4 +387,7 @@ def write_dedup_sink(
         .start()
     )
     q.awaitTermination()
+    if not compact_on_completion:
+        return store_root
+    store.compact("admitted")
     return store.path("admitted")

@@ -86,3 +86,135 @@ def test_read_missing_table_raises(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path))
     with pytest.raises(FileNotFoundError):
         store.path("nope")
+
+
+# --- segment append / merge-on-read / compaction (r4) ---
+
+
+def _kv(spark, *pairs):
+    return spark.createDataFrame(list(pairs), "k bigint, v bigint")
+
+
+def test_append_segment_roundtrip_and_union_read(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path))
+    store.write("t", _df(spark, 1, 2))
+    s1 = store.append_segment("t", _df(spark, 3))
+    s2 = store.append_segment("t", _df(spark, 4, 5))
+    assert store.segments("t") == [s1, s2]
+    assert store.current_version("t") == 1  # base untouched
+    assert sorted(r.x for r in store.read("t").collect()) == [1, 2, 3, 4, 5]
+    # path() must refuse: base alone is not the committed view
+    with pytest.raises(ValueError):
+        store.path("t")
+
+
+def test_append_segment_tag_is_idempotent(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path))
+    store.write("t", _df(spark, 1))
+    n1 = store.append_segment("t", _df(spark, 2), tag="q1_b0")
+    n2 = store.append_segment("t", _df(spark, 2), tag="q1_b0")  # re-delivery
+    assert n1 == n2
+    assert store.segments("t") == [n1]
+    assert sorted(r.x for r in store.read("t").collect()) == [1, 2]
+
+
+def test_crash_between_segment_write_and_commit(spark, tmp_path):
+    """An orphan segment dir (fully written, _SUCCESS present, never
+    committed) is invisible to readers and never adopted: the next
+    append claims a HIGHER number."""
+    store = SnapshotStore(spark, str(tmp_path))
+    store.write("t", _df(spark, 1))
+    orphan = os.path.join(str(tmp_path), "t", "s000001")
+    _df(spark, 99).write.mode("overwrite").parquet(orphan)
+
+    for s in (store, SnapshotStore(spark, str(tmp_path))):
+        assert s.segments("t") == []
+        assert sorted(r.x for r in s.read("t").collect()) == [1]
+
+    name = store.append_segment("t", _df(spark, 2))
+    assert name == "s000002"  # orphan slot skipped, never silently adopted
+    assert sorted(r.x for r in store.read("t").collect()) == [1, 2]
+
+
+def test_crash_between_retire_and_commit_keeps_old_view(spark, tmp_path):
+    """Kill inside compact() after _retire wrote _RETIRED.N but before
+    the manifest flip: the retire-record is for a compaction that never
+    committed — readers still see base+segments, and a later real
+    compaction succeeds."""
+    store = SnapshotStore(spark, str(tmp_path))
+    store.write("t", _df(spark, 1))
+    seg = store.append_segment("t", _df(spark, 2))
+    # simulate the crash: v2 materialized + _RETIRED.2 written, no commit
+    v2 = os.path.join(str(tmp_path), "t", "v2")
+    _df(spark, 1, 2).write.mode("overwrite").parquet(v2)
+    store._retire("t", 2, [seg])
+
+    s2 = SnapshotStore(spark, str(tmp_path))
+    assert s2.current_version("t") == 1
+    assert s2.segments("t") == [seg]
+    assert sorted(r.x for r in s2.read("t").collect()) == [1, 2]
+
+    v = s2.compact("t")  # recovery: overwrites the orphan v2, commits
+    assert v == 2 and s2.segments("t") == []
+    assert sorted(r.x for r in s2.read("t").collect()) == [1, 2]
+
+
+def test_crash_mid_compaction_half_written_base(spark, tmp_path):
+    """Kill during the v2 parquet write (no _SUCCESS): readers keep
+    the old view; compact() overwrites the torn dir and commits."""
+    store = SnapshotStore(spark, str(tmp_path))
+    store.write("t", _df(spark, 1))
+    store.append_segment("t", _df(spark, 2))
+    torn = os.path.join(str(tmp_path), "t", "v2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00torn")
+
+    s2 = SnapshotStore(spark, str(tmp_path))
+    assert sorted(r.x for r in s2.read("t").collect()) == [1, 2]
+    assert s2.compact("t") == 2
+    assert sorted(r.x for r in s2.read("t").collect()) == [1, 2]
+
+
+def test_vacuum_prunes_retired_segments_after_consumers_gone(spark, tmp_path):
+    """Segments folded into v2 stay on disk while v1 (which referenced
+    them) is retained, and are deleted once v1 is vacuumed."""
+    store = SnapshotStore(spark, str(tmp_path), keep=2)
+    store.write("t", _df(spark, 1))
+    seg = store.append_segment("t", _df(spark, 2))
+    store.compact("t")  # v2; v1 retained (keep=2) so seg must survive
+    tdir = os.path.join(str(tmp_path), "t")
+    assert os.path.isdir(os.path.join(tdir, seg))
+    assert os.path.exists(os.path.join(tdir, "_RETIRED.2"))
+
+    store.write("t", _df(spark, 9))  # v3: v1 pruned -> seg now orphaned
+    assert not os.path.isdir(os.path.join(tdir, seg))
+    assert not os.path.exists(os.path.join(tdir, "_RETIRED.2"))
+    assert [r.x for r in store.read("t").collect()] == [9]
+
+
+def test_read_last_wins_resolves_across_segments(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path))
+    store.write("t", _kv(spark, (1, 10), (2, 20)))
+    store.append_segment("t", _kv(spark, (2, 21), (3, 30)))
+    store.append_segment("t", _kv(spark, (3, 31)))
+    got = {r.k: r.v for r in store.read_last_wins("t", ["k"]).collect()}
+    assert got == {1: 10, 2: 21, 3: 31}
+    # compaction with merge_keys folds the RESOLVED view
+    store.compact("t", merge_keys=["k"])
+    assert store.segments("t") == []
+    got2 = {r.k: r.v for r in store.read("t").collect()}
+    assert got2 == {1: 10, 2: 21, 3: 31}
+
+
+def test_auto_compaction_with_merge_keys(spark, tmp_path):
+    """Hitting compact_segments triggers a fold that honors last-wins
+    (segment recency must not be lost by the auto path)."""
+    store = SnapshotStore(spark, str(tmp_path), compact_segments=2)
+    store.write("t", _kv(spark, (1, 10)))
+    store.append_segment("t", _kv(spark, (1, 11)), merge_keys=["k"])
+    # second append reaches the threshold -> auto-compact with keys
+    store.append_segment("t", _kv(spark, (1, 12)), merge_keys=["k"])
+    assert store.segments("t") == []
+    assert store.current_version("t") == 2
+    assert {r.k: r.v for r in store.read("t").collect()} == {1: 12}

@@ -207,3 +207,155 @@ def test_streaming_incremental_dedup_sink(spark, tmp_path):
     # store survives a reader-side check: bands column intact
     df = spark.read.parquet(p3)
     assert "bands" in df.columns and df.filter("size(bands) = 8").count() == 4
+
+
+# --- O(batch) segment appends + chain semantics (r4) ---
+
+
+def _write_parquet_file(path, mtime, names, cols):
+    """One single-file parquet per micro-batch, mtime-ordered so the
+    file source's batch order is deterministic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    pq.write_table(pa.table(dict(zip(names, cols))), path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_merge_sink_appends_segments_not_rewrites(spark, tmp_path):
+    """Three micro-batches: the first writes base v1; each later batch
+    appends ONE segment sized O(batch) — the base version never bumps
+    in the ingest path, and merge-on-read resolves last-wins."""
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+    from firefly_vcut_spark.streaming.incremental import write_merge_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_parquet_file(str(src / "f1.parquet"), 1_000_000, ["k", "v"], [[1, 2], [10, 20]])
+    _write_parquet_file(str(src / "f2.parquet"), 1_000_010, ["k", "v"], [[2, 3], [21, 30]])
+    _write_parquet_file(str(src / "f3.parquet"), 1_000_020, ["k", "v"], [[1], [12]])
+
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    root = write_merge_sink(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "ck"),
+        ["k"],
+        compact_on_completion=False,
+    )
+    store = SnapshotStore(spark, root)
+    assert store.current_version("data") == 1  # base written once, never rebuilt
+    segs = store.segments("data")
+    assert len(segs) == 2
+    # O(batch): each segment holds exactly its batch's rows
+    import os as _os
+
+    tdir = _os.path.join(root, "data")
+    sizes = [
+        spark.read.parquet(_os.path.join(tdir, s)).count() for s in segs
+    ]
+    assert sizes == [2, 1]
+    got = {r.k: r.v for r in store.read_last_wins("data", ["k"]).collect()}
+    assert got == {1: 12, 2: 21, 3: 30}
+    # compaction folds the resolved view; the sink's default path
+    assert store.compact("data", merge_keys=["k"]) == 2
+    assert {r.k: r.v for r in store.read("data").collect()} == got
+
+
+def test_dedup_sink_appends_segments_not_rewrites(spark, tmp_path):
+    """The dedup sink's ingest path writes O(batch) bytes: admitting a
+    second batch appends one survivor-sized segment, never rewriting
+    the admitted store."""
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+    from firefly_vcut_spark.streaming.incremental import write_dedup_sink
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi"
+    )
+    other = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen"
+    )
+    fresh = (
+        "spark duck query table shuffle broadcast partition join "
+        "window agg scan sort merge stream"
+    )
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    _write_parquet_file(
+        str(src / "b1.parquet"), 1_000_000, ["doc_id", "text"], [[1, 2], [base, other]]
+    )
+    # batch 2: one fresh doc, one exact re-delivery, one exact dup
+    _write_parquet_file(
+        str(src / "b2.parquet"), 1_000_010, ["doc_id", "text"],
+        [[11, 1, 12], [fresh, base, other]],
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    root = write_dedup_sink(
+        stream,
+        str(tmp_path / "dstore"),
+        str(tmp_path / "dck"),
+        compact_on_completion=False,
+    )
+    store = SnapshotStore(spark, root)
+    assert store.current_version("admitted") == 1
+    segs = store.segments("admitted")
+    assert len(segs) == 1
+    import os as _os
+
+    seg_df = spark.read.parquet(_os.path.join(root, "admitted", segs[0]))
+    assert [r.doc_id for r in seg_df.collect()] == [11]  # survivors only
+    assert {r.doc_id for r in store.read("admitted").collect()} == {1, 2, 11}
+
+
+def test_dedup_sink_in_batch_chain_drops_transitively(spark, tmp_path):
+    """Pins the documented in-batch policy: for a chain a~b~c where c
+    shares a band with b but NOT with a, c is still dropped (every
+    id_b of a candidate pair goes), so only a survives."""
+    from firefly_vcut_spark.operators.dedup import minhash_lsh_candidates
+    from firefly_vcut_spark.streaming.incremental import write_dedup_sink
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    toks = a.split()
+    bt = list(toks)
+    bt[0] = "CHANGEDB"
+    b = " ".join(bt)
+    ct = list(bt)
+    ct[12] = "CHANGEDC"
+    c = " ".join(ct)
+    fresh = (
+        "spark duck query table shuffle broadcast partition join "
+        "window agg scan sort merge stream"
+    )
+    # precondition (deterministic under the fixed hash family):
+    # candidates are exactly the chain links, no (a, c) edge
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            spark.createDataFrame(
+                [(1, a), (2, b), (3, c)], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}
+
+    src = tmp_path / "csrc"
+    src.mkdir()
+    _write_parquet_file(
+        str(src / "b1.parquet"), 1_000_000, ["doc_id", "text"],
+        [[1, 2, 3, 4], [a, b, c, fresh]],
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    p = write_dedup_sink(stream, str(tmp_path / "cstore"), str(tmp_path / "cck"))
+    assert {r.doc_id for r in spark.read.parquet(p).collect()} == {1, 4}
