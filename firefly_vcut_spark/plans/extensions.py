@@ -164,10 +164,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(d.unionByName(planted))
 
 
-def _minhash_portable_sql(num_hashes: int = 32, bands: int = 8) -> str:
+_PLANTED_CORPUS_SQL = """SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0"""
+
+
+def _minhash_portable_sql(
+    num_hashes: int = 32, bands: int = 8, corpus_sql: str | None = None
+) -> str:
     """Generate the DuckDB twin of minhash_lsh_candidates(portable):
-    same shingling, charfold shingle hash, affine perms, band folds."""
+    same shingling, charfold shingle hash, affine perms, band folds.
+    ``corpus_sql`` must yield (doc_id, text); defaults to the
+    planted-duplicate corpus the dedup_* queries run on."""
     from firefly_vcut_spark.operators.dedup import MINHASH_P, perm_coeffs
+
+    corpus_sql = corpus_sql or _PLANTED_CORPUS_SQL
 
     p = MINHASH_P
     rpb = num_hashes // bands
@@ -194,9 +205,7 @@ def _minhash_portable_sql(num_hashes: int = 32, bands: int = 8) -> str:
     )
     return f"""
     WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+        {corpus_sql}
     ),
     toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM corpus),
     shingled AS (

@@ -627,29 +627,44 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_canonical_docs",
-    sql=f"""
-    WITH RECURSIVE base AS (
-      SELECT doc_id AS id, source AS block, list_distinct({_TOKS}) AS toks
-      FROM documents
+def _canonical_docs_sql() -> str:
+    """Oracle for the LSH-chained canonical-survivor dedup: portable
+    MinHash banding proposes candidate pairs over the PLAIN documents
+    corpus, exact token-set Jaccard verifies them (>= 0.8), then the
+    recursive-CTE transitive closure and the quality ranking pick one
+    survivor per component — the same chain the Spark side runs."""
+    from firefly_vcut_spark.plans.extensions import _minhash_portable_sql
+
+    minhash = _minhash_portable_sql(
+        corpus_sql="SELECT doc_id, text FROM documents"
+    )
+    return f"""
+    WITH RECURSIVE cands AS (SELECT id_a, id_b FROM ({minhash}) mh),
+    wanted AS (
+      SELECT DISTINCT id
+      FROM (SELECT id_a AS id FROM cands UNION ALL SELECT id_b AS id FROM cands)
     ),
-    sized AS (SELECT id, block, toks, len(toks) AS n_toks FROM base),
-    tok AS (SELECT id, block, n_toks, unnest(toks) AS tok FROM sized),
+    vbase AS (
+      SELECT doc_id AS id, list_distinct({_TOKS}) AS toks,
+             len(list_distinct({_TOKS})) AS n_toks
+      FROM documents JOIN wanted ON wanted.id = documents.doc_id
+    ),
+    vtok AS (SELECT id, unnest(toks) AS tok FROM vbase),
     inter AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-      FROM tok a JOIN tok b
-        ON a.block = b.block AND a.tok = b.tok
-       AND a.id < b.id AND b.id - a.id <= 60
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cands c
+      JOIN vtok a ON a.id = c.id_a
+      JOIN vtok b ON b.id = c.id_b AND a.tok = b.tok
       GROUP BY 1, 2
     ),
     pairs AS (
-      SELECT i.id_a, i.id_b
-      FROM inter i
-      JOIN sized na ON na.id = i.id_a
-      JOIN sized nb ON nb.id = i.id_b
-      WHERE round(CAST(i.n_inter AS DOUBLE)
-                  / (na.n_toks + nb.n_toks - i.n_inter), 4) >= 0.8
+      SELECT c.id_a, c.id_b
+      FROM cands c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN vbase na ON na.id = c.id_a
+      JOIN vbase nb ON nb.id = c.id_b
+      WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                  / (na.n_toks + nb.n_toks - coalesce(i.n_inter, 0)), 4) >= 0.8
     ),
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs
@@ -691,21 +706,37 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
            quality AS survivor_quality,
            CAST(n_members AS BIGINT) AS n_members
     FROM ranked WHERE rnk = 1
-    """,
-    tags=("corpus", "dedup", "extension"),
+    """
+
+
+@query(
+    "corpus_canonical_docs",
+    sql=_canonical_docs_sql(),
+    tags=("corpus", "dedup", "extension", "lsh"),
 )
 def corpus_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-survivor selection per duplicate cluster: instead of
     keeping the min-id doc, keep the HIGHEST-QUALITY member of each
     near-dup component (quality-aware dedup — what production corpus
-    dedup actually ships). Composes the Jaccard-pair pipeline,
-    connected components, and the quality score; the per-cluster
-    argmax is a single max-of-ordering-struct aggregation (no window
-    sort), tie-broken toward the smaller doc_id."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, blocking=F.col("source"), max_id_gap=60).filter(
-        F.col("jaccard") >= 0.8
+    dedup actually ships). Pairs come from the production LSH chain —
+    MinHash banding proposes candidates (one bucket shuffle, O(n)
+    signatures, no id-gap/blocking assumption), exact token-set
+    Jaccard verifies exactly those pairs — then connected components
+    and the quality score pick survivors; the per-cluster argmax is a
+    single max-of-ordering-struct aggregation (no window sort),
+    tie-broken toward the smaller doc_id. Portable hash family so the
+    whole chain is DuckDB-hash-checked."""
+    from firefly_vcut_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
     )
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    cands = minhash_lsh_candidates(docs, hash_mode="portable").select(
+        "id_a", "id_b"
+    )
+    pairs = ngram_jaccard_verify(docs, cands).filter(F.col("jaccard") >= 0.8)
     comps = cp.connected_components(pairs)
     quality = d.select(
         F.col("doc_id").alias("id"), tx.quality_score(F.col("text")).alias("quality")
