@@ -112,6 +112,148 @@ def bucketed_topk(
     return _ranked_topk(scored, k)
 
 
+# Knuth multiplicative hash for the deterministic fit-sample order —
+# mirrored verbatim in the DuckDB oracle (extensions._ivf_lloyd_sql).
+IVF_FIT_HASH_A = 2654435761
+IVF_FIT_HASH_MOD = 1 << 32
+
+
+def lloyd_centers(
+    vecs: list[list[float]], n_cells: int, iters: int
+) -> list[list[float]]:
+    """Fixed-iteration Lloyd KMeans on the (driver-side) fit sample,
+    with every intermediate quantized so an independent engine can
+    replay it exactly: distances and per-coordinate means round to 6
+    decimals, assignment ties break toward the lowest cell (argmin
+    returns the first minimum), and an empty cell keeps its previous
+    center. Init = the first ``n_cells`` vectors in fit order."""
+    import numpy as np
+
+    V = np.asarray(vecs, dtype=np.float64)
+    C = V[: n_cells].copy()
+    for _ in range(iters):
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).round(6)
+        assign = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = V[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0).round(6)
+    return [[float(x) for x in row] for row in C]
+
+
+def ivf_lloyd_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit_sample_rows: int = 20_000,
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC learned quantizer: a hash-ordered
+    sample (TakeOrdered — top-N selection, not a full sort, so the fit
+    collect stays O(sample) at 100 TB) trains fixed-iteration Lloyd
+    KMeans on the driver (coarse quantizers are sample-fit in practice:
+    ~10³ points per cell suffice, the standard IVF recipe); corpus
+    vectors are assigned to their nearest (quantized-distance) center
+    by a pure-Column array_min — no join, stays in codegen — and each
+    query probes its ``nprobe`` nearest centroids. Every step is
+    integer/rounded-double arithmetic an oracle replays exactly, so
+    unlike the Spark-ML variant this IVF is hash-checkable end to end."""
+    spark = corpus.sparkSession
+    emb = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    h = (F.col("vec_id") * F.lit(IVF_FIT_HASH_A)) % F.lit(IVF_FIT_HASH_MOD)
+    fit_rows = (
+        emb.withColumn("h", h)
+        .orderBy("h", "vec_id")
+        .limit(fit_sample_rows)
+        .select("v")
+        .collect()
+    )
+    centers = lloyd_centers([r.v for r in fit_rows], n_cells, iters)
+    centers_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cell"),
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+            )
+            for j, c in enumerate(centers)
+        ]
+    )
+
+    def d2(v: Column, c: Column) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    assigned = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn(
+            "best",
+            F.array_min(
+                F.transform(
+                    centers_arr,
+                    lambda ct: F.struct(
+                        d2(F.col("v"), ct["c"]).alias("d"),
+                        ct["cell"].alias("cell"),
+                    ),
+                )
+            ),
+        )
+        .select("vec_id", "v", F.col("best.cell").alias("cell"))
+        .withColumn("cn", norm(F.col("v")))
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    probes = (
+        q.withColumn(
+            "pc",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        centers_arr,
+                        lambda ct: F.struct(
+                            (-F.round(cosine(F.col("qv"), ct["c"]), 4)).alias(
+                                "negc"
+                            ),
+                            ct["cell"].alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select("query_id", "qv", "qn", F.explode("pc").alias("p"))
+        .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -16,7 +16,7 @@ from firefly_vcut_spark.operators import text as tx
 from firefly_vcut_spark.operators.ann import (
     brute_force_topk,
     bucketed_topk,
-    ivf_kmeans_topk,
+    ivf_lloyd_topk,
 )
 from firefly_vcut_spark.operators.dedup import (
     embedding_near_dups,
@@ -615,15 +615,108 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_kmeans_topk", sql=None, tags=("ann", "extension", "vector", "ml"))
+def _ivf_lloyd_sql(
+    n_cells: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+    k: int = 5,
+    fit_limit: int = 20_000,
+) -> str:
+    """DuckDB twin of ivf_lloyd_topk: replays the hash-ordered fit
+    sample, the fixed-iteration Lloyd fit (unrolled — one
+    assign/update CTE pair per iteration, distances and means rounded
+    to 6 exactly like the Spark/numpy side), the full-corpus cell
+    assignment, the nprobe centroid probe, and the final rank."""
+    from firefly_vcut_spark.operators.ann import IVF_FIT_HASH_A, IVF_FIT_HASH_MOD
+
+    dist = (
+        "round(list_aggregate(list_transform(range(1, len({v}) + 1), "
+        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum'), 6)"
+    )
+    hord = f"(vec_id * {IVF_FIT_HASH_A}) % {IVF_FIT_HASH_MOD}"
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        d = dist.format(v="f.v", c="ct.c")
+        steps.append(f"""
+    a{t} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT f.vec_id, f.v, ct.cell,
+               row_number() OVER (PARTITION BY f.vec_id
+                   ORDER BY {d} ASC, ct.cell ASC) AS rn
+        FROM fit f CROSS JOIN {prev} ct) t WHERE rn = 1
+    ),
+    m{t} AS (
+      SELECT cell, idx, round(avg(v[idx]), 6) AS mu FROM (
+        SELECT cell, v, unnest(range(1, len(v) + 1)) AS idx FROM a{t}) t
+      GROUP BY cell, idx
+    ),
+    u{t} AS (SELECT cell, list(mu ORDER BY idx) AS c FROM m{t} GROUP BY cell),
+    c{t} AS (
+      SELECT p.cell, coalesce(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN u{t} u USING (cell)
+    )""")
+        prev = f"c{t}"
+    lloyd = ",".join(steps)
+    final_d = dist.format(v="e.v", c="ct.c")
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    fit AS (SELECT vec_id, v FROM emb ORDER BY {hord}, vec_id LIMIT {fit_limit}),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY {hord}, vec_id) AS INTEGER) - 1 AS cell,
+             v AS c
+      FROM fit ORDER BY {hord}, vec_id LIMIT {n_cells}
+    ),{lloyd},
+    assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, ct.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {final_d} ASC, ct.cell ASC) AS rn
+        FROM emb e CROSS JOIN {prev} ct) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, ct.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.qv, ct.c), 4) DESC,
+                            ct.cell ASC) AS rn
+        FROM q CROSS JOIN {prev} ct) t WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, a.v), 4) AS cos_sim
+      FROM assign a JOIN probe p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_ivf_kmeans_topk",
+    sql=_ivf_lloyd_sql(),
+    tags=("ann", "extension", "vector", "ml"),
+)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 with a learned coarse quantizer: Spark ML KMeans
-    (16 cells, fixed seed) trains the inverted-file layout; queries
-    probe their 2 nearest centroids only. Learned centroids aren't
-    SQL-expressible → rows-only for the driver; recall vs brute force
-    asserted in pytest."""
+    """IVF top-5 with a learned coarse quantizer — now the
+    DETERMINISTIC sample-fit Lloyd path (operators/ann.ivf_lloyd_topk):
+    hash-ordered fit sample, 3 quantized Lloyd iterations on the
+    driver, array_min cell assignment, 2-centroid probe. Fully
+    hash-checked: the oracle unrolls the identical Lloyd fit in SQL.
+    The Spark-ML KMeans variant (ivf_kmeans_topk) remains as an
+    operator with its own recall-vs-brute-force pytest gate."""
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_kmeans_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
+    return ivf_lloyd_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
 
 
 # ---------------------------------------------------------------------------
