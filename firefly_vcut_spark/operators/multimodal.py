@@ -2,13 +2,15 @@
 with a typed metadata struct, processed by Arrow-batched
 ``mapInPandas`` kernels.
 
-The container has no image/audio codecs, so the *decode* step is
-stubbed (SURVEY-mandated): ``decode_image_real`` raises
-NotImplementedError behind an import-try, and ``decode_image_fake``
-is a deterministic byte-level stand-in. Everything Spark-side —
-schema, batch iteration, partitioning, UDF signatures — is real and
-tested; swapping the fake for a PIL/ffmpeg kernel changes one
-function.
+Decode paths:
+- REAL (``decode_image_real`` → ``decode_features_real``): pure-stdlib
+  decoders for BMP (24-bit BI_RGB), PPM (P6), and PNG (8-bit
+  gray/RGB/RGBA, all five scanline filters, zlib IDAT) — no external
+  codec needed, pixels actually recovered. Formats that genuinely need
+  a codec (JPEG/WebP/video) still raise NotImplementedError behind the
+  guard; swapping in PIL/ffmpeg changes one function.
+- FAKE (``decode_image_fake``): deterministic byte-level stand-in used
+  by the registry query over the synthetic text-blob corpus.
 
 Scale notes: binary payloads stay in executor-side Arrow batches
 (never collected); per-batch model/codec init happens once per
@@ -20,6 +22,8 @@ per-worker model load (reference modal/transcribe.py:22-28's
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -73,17 +77,145 @@ def attach_fake_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_real(blob: bytes, fmt: str):  # pragma: no cover
-    """Real decode path — requires an image codec not present in this
-    container. Kept as the swap-in point for production."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24-bit BI_RGB Windows bitmap → (w, h, 3, RGB rows
+    top-down). BMP stores BGR bottom-up with rows padded to 4 bytes."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    w, h = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    comp = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = ((w * 3 + 3) // 4) * 4
+    px = bytearray(w * h * 3)
+    for y in range(h):
+        src = data_off + (h - 1 - y if bottom_up else y) * row_size
+        for x in range(w):
+            b, g, r = blob[src + 3 * x : src + 3 * x + 3]
+            i = (y * w + x) * 3
+            px[i] = r
+            px[i + 1] = g
+            px[i + 2] = b
+    return w, h, 3, bytes(px)
+
+
+def _decode_ppm(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Binary PPM (P6, maxval 255) → (w, h, 3, RGB rows top-down)."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(blob[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from data
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval={maxval}")
+    need = w * h * 3
+    px = blob[pos : pos + need]
+    if len(px) != need:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, 3, px
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
+    """PNG, 8-bit depth, gray/RGB/RGBA (color types 0/2/6), no
+    interlace → (w, h, channels, unfiltered rows top-down). Inflates
+    the IDAT stream with stdlib zlib and inverts all five scanline
+    filters (none/sub/up/average/paeth)."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, b""
+    w = h = channels = None
+    while pos + 8 <= len(blob):
+        ln = struct.unpack_from(">I", blob, pos)[0]
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (0, 2, 6) or inter != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={ctype} interlace={inter}"
+                )
+            channels = {0: 1, 2: 3, 6: 4}[ctype]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    ch = channels
+    px = bytearray(stride * h)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        row = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif f == 2:  # up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # average
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        px[y * stride : (y + 1) * stride] = row
+        prev = row
+    return w, h, channels, bytes(px)
+
+
+def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, int, bytes]:
+    """Real decode: sniff the container by magic bytes and recover
+    actual pixels → (width, height, channels, pixel bytes — rows
+    top-down). BMP/PPM/PNG decode with the stdlib alone; JPEG/WebP
+    (and anything else) still need a codec this container lacks and
+    raise NotImplementedError — the declared swap-in point for a
+    PIL/ffmpeg kernel."""
+    if blob[:8] == _PNG_SIG:
+        return _decode_png(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    if blob[:2] == b"P6":
+        return _decode_ppm(blob)
+    if blob[:3] == b"\xff\xd8\xff" or blob[8:12] == b"WEBP":
         raise NotImplementedError(
-            "image codec not available in this environment; "
-            "use decode_image_fake for deterministic tests"
-        ) from e
-    raise NotImplementedError("real decode wiring lands with the codec")
+            f"{fmt or 'jpeg/webp'} needs an image codec not present in "
+            "this environment"
+        )
+    raise ValueError(f"unrecognized image container (fmt hint: {fmt!r})")
 
 
 def decode_image_fake(blob: bytes) -> tuple[str, float]:
@@ -123,6 +255,43 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
         "doc_id", "blob", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
     )
     return flat.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+REAL_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("pixel_checksum", T.StringType()),
+    ]
+)
+
+
+def decode_features_real(blobs: DataFrame) -> DataFrame:
+    """mapInPandas kernel over REAL image containers: each blob is
+    decoded to pixels (decode_image_real) and reduced to features —
+    dimensions, channel count, mean pixel value, md5 of the decoded
+    pixel buffer. Input: (doc_id, blob). Same Arrow-batched shape as
+    the fake-path kernel; only the per-blob function differs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in REAL_DECODED_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, ch, px = decode_image_real(bytes(blob))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["mean_pixel"].append(
+                    round(sum(px) / len(px), 6) if px else 0.0
+                )
+                out["pixel_checksum"].append(hashlib.md5(px).hexdigest())
+            yield pd.DataFrame(out)
+
+    return blobs.select("doc_id", "blob").mapInPandas(kernel, REAL_DECODED_SCHEMA)
 
 
 def sample_frames(multimodal: DataFrame, n_frames: int = 4) -> DataFrame:

@@ -1,0 +1,153 @@
+"""Real image decode: pure-stdlib BMP/PPM/PNG decoders must recover
+the exact pixels from fixtures generated here (encoders below build
+the containers byte-by-byte, so the expected pixel buffer is known a
+priori), and the Arrow mapInPandas kernel must carry them end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import pytest
+
+from firefly_vcut_spark.operators.multimodal import (
+    decode_features_real,
+    decode_image_real,
+)
+
+
+def _pixels(w: int, h: int, ch: int) -> bytes:
+    """Deterministic pixel pattern covering the byte range."""
+    return bytes(
+        (x * 7 + y * 31 + c * 101 + 13) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+def encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
+    """24-bit BI_RGB bottom-up BMP from top-down RGB rows."""
+    row_size = ((w * 3 + 3) // 4) * 4
+    data = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            i = (y * w + x) * 3
+            r, g, b = rgb[i : i + 3]
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - len(row))
+        data += row
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + bytes(data)
+
+
+def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
+    return b"P6\n# fixture comment\n%d %d\n255\n" % (w, h) + rgb
+
+
+def encode_png(w: int, h: int, px: bytes, ch: int, filters: list[int]) -> bytes:
+    """PNG with a CHOSEN filter per row (exercises every unfilter
+    branch in the decoder). ``filters`` must have one entry per row."""
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        row = bytearray(px[y * stride : (y + 1) * stride])
+        f = filters[y]
+        enc = bytearray(row)
+        if f == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                enc[i] = (row[i] - row[i - ch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                enc[i] = (row[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (row[i] - pr) & 0xFF
+        raw += bytes([f]) + enc
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_bmp_roundtrip_exact_pixels():
+    w, h = 5, 4  # width 5 → BMP rows need padding (15 → 16 bytes)
+    rgb = _pixels(w, h, 3)
+    got = decode_image_real(encode_bmp(w, h, rgb))
+    assert got == (w, h, 3, rgb)
+
+
+def test_ppm_roundtrip_exact_pixels():
+    w, h = 7, 3
+    rgb = _pixels(w, h, 3)
+    got = decode_image_real(encode_ppm(w, h, rgb))
+    assert got == (w, h, 3, rgb)
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_png_roundtrip_all_filters(ch):
+    w, h = 6, 5
+    px = _pixels(w, h, ch)
+    blob = encode_png(w, h, px, ch, filters=[0, 1, 2, 3, 4])
+    got = decode_image_real(blob)
+    assert got == (w, h, ch, px)
+
+
+def test_codec_formats_still_guarded():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+    with pytest.raises(ValueError):
+        decode_image_real(b"garbage-bytes")
+
+
+def test_decode_features_real_kernel(spark):
+    """End-to-end through Arrow mapInPandas: mixed-container blobs in
+    one DataFrame, features must match the a-priori pixel buffers."""
+    w, h = 5, 4
+    rgb = _pixels(w, h, 3)
+    rgba = _pixels(w, h, 4)
+    blobs = {
+        1: (encode_bmp(w, h, rgb), 3, rgb),
+        2: (encode_ppm(w, h, rgb), 3, rgb),
+        3: (encode_png(w, h, rgba, 4, [4, 3, 2, 1]), 4, rgba),
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, (b, _, _) in blobs.items()],
+        "doc_id long, blob binary",
+    )
+    rows = {r.doc_id: r for r in decode_features_real(df).collect()}
+    assert set(rows) == set(blobs)
+    for i, (_, ch, px) in blobs.items():
+        r = rows[i]
+        assert (r.width, r.height, r.channels) == (w, h, ch)
+        assert r.pixel_checksum == hashlib.md5(px).hexdigest()
+        assert r.mean_pixel == round(sum(px) / len(px), 6)
