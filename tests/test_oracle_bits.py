@@ -104,3 +104,84 @@ def test_sql_lcs_needle_guard():
     sql = f"SELECT {ob.lcs_expr('a', 'b')} AS l FROM (SELECT repeat('q', 127) AS a, 'q' AS b)"
     con = duckdb.connect()
     assert con.sql(sql).fetchall() == [(None,)]
+
+
+# --- r4: exhaustive length-residue sweep + hypothesis fuzz ---
+
+
+def _sql_xxh64_batch(samples: list[str], seed: int) -> dict[str, int]:
+    """One DuckDB query hashing every sample with the emitted SQL.
+    Samples go in as BOUND PARAMETERS, not literals, so hypothesis is
+    free to throw control characters / NULs / quotes at the emitter."""
+    rows = ", ".join(f"({i}, ?)" for i in range(len(samples)))
+    base = (
+        f"(SELECT i, s, {ob.bytes_list('s')} AS bs, "
+        f"octet_length(encode(s)) AS bn FROM (VALUES {rows}) t(i, s))"
+    )
+    steps = ob.xxh64_sql_steps("bs", "bn", str(seed), "hh")
+    sql = (
+        f"SELECT i, {ob.signed64('hh')} AS h "
+        f"FROM {ob.chain_sql(base, ['i', 's', 'bs', 'bn'], steps)}"
+    )
+    con = duckdb.connect()
+    got = dict(con.execute(sql, list(samples)).fetchall())
+    return {samples[i]: h for i, h in got.items()}
+
+
+@pytest.mark.parametrize("seed", [42, ob.seed_after_int_lit(5)])
+def test_sql_xxh64_every_length_residue(seed):
+    """EVERY byte length 0..96 (two random payloads each): covers all
+    tail residues of the <4 / <8 / <32 / 1-stripe / multi-stripe
+    regimes, so no length-dependent branch of the emitted SQL goes
+    unexercised."""
+    import string
+
+    alphabet = string.ascii_letters + string.digits + "!#%&()*+,-./:;<=>?@"
+    rng = random.Random(7)
+    samples: list[str] = []
+    for n in range(0, 97):
+        for _ in range(2):
+            samples.append("".join(rng.choice(alphabet) for _ in range(n)))
+    samples = list(dict.fromkeys(samples))
+    got = _sql_xxh64_batch(samples, seed)
+    for s in samples:
+        expect = ob.to_signed64(ob.xxh64_bytes(s.encode(), seed))
+        assert got[s] == expect, f"len={len(s.encode())}"
+
+
+def test_sql_xxh64_hypothesis_unicode():
+    """Hypothesis fuzz: arbitrary unicode text (multi-byte UTF-8 moves
+    the byte-length residues independently of the char length) must
+    hash identically in the emitted SQL and the Python reference that
+    is itself anchored to F.xxhash64."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(max_size=80))
+    def check(s: str) -> None:
+        got = _sql_xxh64_batch([s], 42)[s]
+        assert got == ob.to_signed64(ob.xxh64_bytes(s.encode(), 42))
+
+    check()
+
+
+def test_sql_lcs_hypothesis():
+    """Hypothesis fuzz of the bit-parallel LCS SQL against the straight
+    DP reference (small alphabet → collision-rich subsequences; needle
+    capped at the 126-char word limit)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alpha = st.text(alphabet="ab ", max_size=126)
+    alpha_b = st.text(alphabet="ab ", max_size=200)
+
+    @settings(max_examples=100, deadline=None)
+    @given(alpha, alpha_b)
+    def check(a: str, b: str) -> None:
+        sql = f"SELECT {ob.lcs_expr('a', 'b')} AS l FROM (SELECT ? AS a, ? AS b) t"
+        con = duckdb.connect()
+        (got,) = con.execute(sql, [a, b]).fetchall()[0]
+        assert got == dp_lcs(a, b) == lcs_length(a, b)
+
+    check()
