@@ -55,7 +55,11 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_bytes", T.LongType()),
-        T.StructField("frame_checksum", T.StringType()),
+        # Spark-compatible XXH64 (seed 42) of the frame bytes: the
+        # fingerprint an oracle can replay over a byte-list slice
+        # (oracle_bits emitters), unlike md5-of-arbitrary-bytes which
+        # DuckDB only exposes for VARCHAR.
+        T.StructField("frame_xxh64", T.LongType()),
     ]
 )
 
@@ -300,6 +304,12 @@ def sample_frames(multimodal: DataFrame, n_frames: int = 4) -> DataFrame:
     frame — a mapInPandas flat-map (output rows ≠ input rows)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from firefly_vcut_spark.oracle_bits import (
+            SPARK_HASH_SEED,
+            to_signed64,
+            xxh64_bytes,
+        )
+
         for pdf in batches:
             out: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA.fields}
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
@@ -312,7 +322,9 @@ def sample_frames(multimodal: DataFrame, n_frames: int = 4) -> DataFrame:
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
                     out["frame_bytes"].append(len(frame))
-                    out["frame_checksum"].append(hashlib.md5(frame).hexdigest())
+                    out["frame_xxh64"].append(
+                        to_signed64(xxh64_bytes(frame, SPARK_HASH_SEED))
+                    )
             yield pd.DataFrame(out)
 
     return multimodal.select("doc_id", "blob").mapInPandas(kernel, FRAME_SCHEMA)

@@ -841,26 +841,99 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multimodal: binary blobs + mapInPandas decode / frame-sampling (rows-only)
+# multimodal: binary blobs + mapInPandas decode / frame-sampling
+# (hash-oracled since r4: the synthetic blobs are the documents' UTF-8
+# bytes, so DuckDB can recompute every feature — md5(text) for the full
+# blob, the oracle_bits XXH64 emitters for byte-range frames)
 # ---------------------------------------------------------------------------
 
 
-@query("mm_decode_features", sql=None, tags=("multimodal", "extension", "udf"))
+def _mm_decode_sql() -> str:
+    from firefly_vcut_spark import oracle_bits as ob
+
+    return f"""
+    WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n,
+               {ob.bytes_list('text')} AS bs
+        FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(list_aggregate(bs, 'sum') AS DOUBLE) / n
+           END AS mean_byte,
+           CAST(64 + doc_id % 193 AS INTEGER) AS width,
+           CAST(64 + (doc_id * 7) % 129 AS INTEGER) AS height
+    FROM b
+    """
+
+
+@query(
+    "mm_decode_features",
+    sql=_mm_decode_sql(),
+    tags=("multimodal", "extension", "udf"),
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: documents as binary blobs with typed
     metadata, pushed through an Arrow mapInPandas kernel producing
-    (checksum, mean_byte, dims). Decode is a deterministic fake (no
-    codecs in this container — operators/multimodal.py); the Spark
-    plumbing is real. Checksum parity with md5(text) pytest-asserted."""
+    (checksum, mean_byte, dims). The synthetic blobs use the fake
+    decode (real BMP/PPM/PNG decode lives in decode_features_real with
+    its own fixture tests); the Spark plumbing is real and the whole
+    output is hash-checked — DuckDB recomputes md5/mean/dims from the
+    same text bytes."""
     d = load_table(spark, sf_dir, "documents")
     return decode_features(attach_fake_blobs(d))
 
 
-@query("mm_frame_sample", sql=None, tags=("multimodal", "extension", "udf"))
+def _mm_frame_sql(n_frames: int = 4) -> str:
+    from firefly_vcut_spark import oracle_bits as ob
+
+    idxs = ", ".join(str(i) for i in range(n_frames))
+    base = f"""(
+        SELECT doc_id, frame_idx, step AS bn,
+               list_slice(allbs, frame_idx * step + 1,
+                          frame_idx * step + step) AS bs
+        FROM (
+            SELECT doc_id, unnest([{idxs}]) AS frame_idx, n, step, allbs
+            FROM (
+                SELECT doc_id, octet_length(encode(text)) AS n,
+                       greatest(octet_length(encode(text)) // {n_frames}, 1)
+                           AS step,
+                       {ob.bytes_list('text')} AS allbs
+                FROM documents) b) f
+        WHERE frame_idx * step < n)"""
+    # chain emitter, not the multi-seed one: for ONE seed over many
+    # short frames the nested-projection chain measures ~24s at sf0.01
+    # vs ~120s for xxh64_multi_expr's list_reduce lambdas (those
+    # amortize only across many seeds per row, as in MinHash)
+    chain = ob.chain_sql(
+        base,
+        ["doc_id", "frame_idx", "bn", "bs"],
+        ob.xxh64_sql_steps("bs", "bn", str(ob.SPARK_HASH_SEED), "hh"),
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(bn AS BIGINT) AS frame_bytes,
+           {ob.signed64('hh')} AS frame_xxh64
+    FROM {chain}
+    """
+
+
+@query(
+    "mm_frame_sample",
+    sql=_mm_frame_sql(),
+    tags=("multimodal", "extension", "udf"),
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: each blob split into 4 byte-range
     'frames', one row per frame (mapInPandas flat-map — output
-    cardinality ≠ input)."""
+    cardinality ≠ input). Frames are fingerprinted with
+    Spark-compatible XXH64 (seed 42), which the oracle replays over
+    byte-list slices via the oracle_bits emitters — byte-range slicing
+    can split multi-byte UTF-8, so md5 (VARCHAR-only in DuckDB) could
+    not be checked; xxhash64 can."""
     d = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_fake_blobs(d), n_frames=4)
 
