@@ -261,6 +261,24 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
     return flat.mapInPandas(kernel, DECODED_SCHEMA)
 
 
+def synthetic_pixels(doc_id: int, w: int, h: int, ch: int = 3) -> bytes:
+    """Deterministic pixel pattern, a pure function of (doc_id, x, y,
+    c) — the oracle recomputes the same values in SQL, so a container
+    round-trip (encode → real decode → features) is hash-checkable."""
+    return bytes(
+        (x * 7 + y * 31 + c * 101 + doc_id) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6) encoder — the uncompressed container used to
+    exercise the real decoder inside a registry query."""
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
 REAL_DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -271,6 +289,26 @@ REAL_DECODED_SCHEMA = T.StructType(
         T.StructField("pixel_checksum", T.StringType()),
     ]
 )
+
+
+def encode_synthetic_ppm(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, blob): each doc gets a real PPM container
+    holding its synthetic_pixels pattern (dims derived from doc_id).
+    Paired with decode_features_real this round-trips actual pixels
+    through a real container inside the engine."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 9, 6 + i % 5
+                blobs.append(encode_ppm(w, h, synthetic_pixels(i, w, h)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
 
 
 def decode_features_real(blobs: DataFrame) -> DataFrame:

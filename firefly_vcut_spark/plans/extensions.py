@@ -922,6 +922,54 @@ def _mm_frame_sql(n_frames: int = 4) -> str:
 
 
 @query(
+    "mm_real_decode_roundtrip",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM dims
+    ),
+    v AS (
+      SELECT doc_id, w, h,
+             ((((i // 3) % w) * 7 + (i // (3 * w)) * 31
+               + (i % 3) * 101 + doc_id) % 256) AS val
+      FROM px
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_pixel
+    FROM v GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "extension", "udf"),
+)
+def mm_real_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container round-trip inside the engine: every doc's
+    deterministic pixel pattern is encoded as an actual PPM blob
+    (mapInPandas), then decoded back by the real stdlib decoder
+    (decode_image_real) and reduced to features. Because the pixels
+    are a pure function of (doc_id, x, y, c), DuckDB recomputes the
+    expected dims/mean directly — the oracle catches any decoder
+    corruption (a single wrong byte moves the mean)."""
+    from firefly_vcut_spark.operators.multimodal import (
+        decode_features_real,
+        encode_synthetic_ppm,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = decode_features_real(encode_synthetic_ppm(d))
+    return feats.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("mean_pixel").cast("double").alias("mean_pixel"),
+    )
+
+
+@query(
     "mm_frame_sample",
     sql=_mm_frame_sql(),
     tags=("multimodal", "extension", "udf"),
