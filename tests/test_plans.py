@@ -115,3 +115,36 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
 def test_shuffle_shard_single_rollup_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_shuffle_shard")
     assert plan.count("Exchange") <= 2  # rollup + AQE read, nothing else
+
+
+def test_ivf_lloyd_broadcast_probe_no_cartesian(spark, sf_dir):
+    """The IVF query's only join is the (cell)-key probe with the tiny
+    probe side broadcast; cell assignment is a pure projection
+    (array_min over center literals), so no join/exchange precedes it."""
+    plan = _plan(spark, sf_dir, "ann_ivf_kmeans_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_canonical_docs_pairs_have_no_id_gap_blocking(spark, sf_dir):
+    """corpus_canonical_docs composes the LSH chain: its pair source
+    is the banded candidate join (band_id/band_hash equi-keys), not
+    the id-gap demo blocking. The final query plan starts from the
+    connected-components checkpoint, so the gate inspects the pair
+    pipeline it composes."""
+    from pyspark.sql import functions as F
+
+    from firefly_vcut_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
+    )
+    from firefly_vcut_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = minhash_lsh_candidates(docs, hash_mode="portable").select("id_a", "id_b")
+    pairs = ngram_jaccard_verify(docs, cands).filter(F.col("jaccard") >= 0.8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "band_hash" in plan  # LSH banding feeds the pairs
+    assert "CartesianProduct" not in plan
+    assert "id_gap" not in plan and "max_id_gap" not in plan
