@@ -527,3 +527,92 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dup_span_removal(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-substring removal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): any word ``k``-gram
+    occurring >= ``min_count`` times across the whole corpus marks its
+    k-token span for removal in every document containing it; output
+    is one row per document with the removal audit and an md5 of the
+    surviving token sequence (compact: the driver never ships rebuilt
+    text, only the digest).
+
+    Scale shape: gram identity is a 128-bit md5 digest of the k-token
+    window, so the global frequency pass shuffles (digest, doc_id,
+    pos) — never document text. One wide exchange on the digest
+    (window count = single shuffle, map-side partials apply), then
+    covered-position expansion (ints only), an anti-join on
+    (doc_id, pos), and a per-doc rebuild where each surviving token
+    crosses the wire exactly once. All JVM/codegen — no Python. At
+    100 TB swap md5 for ``xxhash64`` (8-byte shuffle keys; the repo's
+    oracle_bits machinery proves the replay) and block the global
+    count by digest range.
+
+    Reference analog: the reference dedups occurrences row-wise by
+    (bvid, song) key (src/firefly_vcut/db/occurrence.py:16-24); this
+    is the corpus-level generalization its training-data pipeline
+    would need.
+    """
+    from pyspark.sql import Window
+
+    t = F.split(normalized_text(F.col(text_col)), " ")
+    toks = docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+    # sequence(1, n) is DESCENDING when n < 1, so gram generation is
+    # gated on size(t) >= k rather than clamped with greatest().
+    grams = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k - 1}), "
+                    f"i -> struct(i AS pos, md5(array_join(slice(t, i, {k}), ' ')) AS g))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    )
+    dup_starts = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("cnt") >= min_count)
+        .select("doc_id", "pos")
+    )
+    covered = dup_starts.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos"),
+    ).distinct()
+    tokpos = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = (
+        tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    totals = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("kept_md5"), F.md5(F.lit(""))).alias("kept_md5"),
+    )

@@ -760,3 +760,71 @@ def corpus_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+_DUP_K = 8
+
+
+@query(
+    "corpus_dup_span_removal",
+    sql=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               array_to_string(list_slice({_TOKS}, 1, 25), ' ') AS text
+        FROM documents WHERE doc_id % 13 = 0 AND len({_TOKS}) >= 25
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(list_slice(t, i, i + {_DUP_K - 1}), ' ')) AS g
+        FROM toks, UNNEST(range(1, greatest(len(t) - {_DUP_K - 1}, 0) + 1)) AS u(i)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    covered AS (
+        SELECT DISTINCT doc_id, pos + off AS pos
+        FROM (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)) s,
+             UNNEST(range(0, {_DUP_K})) AS o(off)
+    ),
+    tokpos AS (
+        SELECT doc_id, UNNEST(t) AS tok, UNNEST(range(1, len(t) + 1)) AS pos
+        FROM toks
+    ),
+    kept AS (
+        SELECT tp.doc_id,
+               count(*) AS n_kept,
+               md5(string_agg(tp.tok, ' ' ORDER BY tp.pos)) AS kept_md5
+        FROM tokpos tp
+        ANTI JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+        GROUP BY tp.doc_id
+    ),
+    totals AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.kept_md5, md5('')) AS kept_md5
+    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+    tags=("corpus", "extension", "dedup"),
+)
+def corpus_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring removal over a planted-overlap corpus
+    (operators/dedup.dup_span_removal): every 13th sufficiently-long
+    doc re-appears under a shifted id as its own 25-token prefix, so
+    the detector provably fires on partial overlap — the planted docs
+    vanish entirely (their every 8-gram recurs in the source doc) and
+    the source docs lose exactly their first 25 tokens, while natural
+    within-corpus repeated 8-grams are scrubbed too. Output audits
+    per-doc token/removal counts plus an md5 of the surviving token
+    sequence, so the correctness hash pins the rebuilt text without
+    shipping it."""
+    from firefly_vcut_spark.operators.dedup import dup_span_removal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tx.tokens(F.col("text"))
+    planted = d.filter((F.col("doc_id") % 13 == 0) & (F.size(t) >= 25)).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(t, 1, 25), " ").alias("text"),
+    )
+    return dup_span_removal(d.unionByName(planted), k=_DUP_K)

@@ -263,3 +263,47 @@ def test_shard_bucket_not_round_robin(spark):
     counts = Counter(shards.values())
     assert len(counts) == 16
     assert max(counts.values()) < 2 * min(counts.values())
+
+
+def test_dup_span_removal_semantics(spark):
+    """Planted-overlap truth table for dup_span_removal: a doc sharing
+    a k-gram with another loses exactly the shared span; unique docs
+    survive untouched (kept_md5 == md5 of their full normalized text);
+    a doc that is a pure substring of another vanishes entirely."""
+    import hashlib
+
+    from firefly_vcut_spark.operators.dedup import dup_span_removal
+
+    w = [f"w{i}" for i in range(30)]
+    shared = w[:8]  # one shared 8-gram between docs 1 and 2
+    d1 = " ".join(shared + w[10:20])  # 18 tokens, first 8 duplicated
+    d2 = " ".join(w[20:25] + shared)  # 13 tokens, last 8 duplicated
+    d3 = " ".join(f"u{i}" for i in range(12))  # unique, untouched
+    d4 = " ".join(w[10:20])  # substring of d1's tail -> fully removed
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in dup_span_removal(df, k=8).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[3]["n_removed"] == 0 and rows[3]["kept_md5"] == md5(d3)
+    # d4 == d1[8:18]: every one of its 3 8-grams also occurs in d1
+    assert rows[4]["n_removed"] == rows[4]["n_tokens"] == 10
+    assert rows[4]["kept_md5"] == md5("")
+    # d1 loses its first-8 span (shared with d2) AND its tail (shared
+    # with d4 in full)
+    assert rows[1]["n_removed"] == 18 and rows[1]["kept_md5"] == md5("")
+    # d2 keeps only its unique 5-token prefix
+    assert rows[2]["n_removed"] == 8
+    assert rows[2]["kept_md5"] == md5(" ".join(w[20:25]))
+
+
+def test_dup_span_removal_short_docs_pass_through(spark):
+    """Docs shorter than k produce no grams and are never covered."""
+    from firefly_vcut_spark.operators.dedup import dup_span_removal
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in dup_span_removal(df, k=8).collect()}
+    assert all(rows[i]["n_removed"] == 0 for i in (1, 2, 3))
+    assert rows[3]["n_tokens"] == 1  # split('') -> [''], same as oracle
