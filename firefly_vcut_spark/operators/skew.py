@@ -1,68 +1,60 @@
-"""Skew- and shuffle-management utilities for the 100 TB posture.
+"""Salted join: the explicit-plan fix for skewed join keys.
 
-AQE's skew-join splitting handles most cases at runtime; these cover
-the two patterns AQE cannot fix:
+When one join key carries a disproportionate share of a huge fact
+table (hot users, null-ish sentinel keys, power-law ids), a plain
+shuffle join lands that key's every row in ONE reducer task and the
+stage runs at the speed of its slowest straggler. Salting splits each
+key's rows across ``n_salts`` reducers: the fact side appends a
+deterministic salt in [0, n_salts) hashed from a row-unique column,
+and the (much smaller, but not broadcast-small) dim side replicates
+each row once per salt value, so (key, salt) spreads every hot key
+over n_salts tasks. Equality on (key, salt) preserves exact inner /
+left-outer join semantics: every fact row still meets exactly the one
+dim replica carrying its salt.
 
-- ``salted_aggregate`` — a hot GROUP BY key (one vtuber's million
-  recordings, one song's candidate flood) overloads a single reducer.
-  Two-phase aggregation over a salted key spreads the hot key across
-  ``salt`` reducers, then merges the partials. Correct for any
-  algebraic aggregate (the caller provides partial + merge exprs).
-- ``salted_broadcast_left`` — a skewed fact side joining a *small*
-  dim should be a broadcast join (no shuffle of the skewed side at
-  all); the helper exists to make the choice explicit and assert the
-  dim is actually broadcastable.
-
-Bucketed co-located joins (two big tables repeatedly joined on the
-same key) are storage-layout work, not an operator: see
-tests/test_scale.py::test_bucketed_join_avoids_shuffle for the
-bucketBy write + shuffle-free sort-merge join recipe.
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`) does this
+adaptively for sort-merge joins; the explicit form is the one you
+reach for when the skew is known ahead of time, when the join is a
+shuffled hash join, or when the same trick must also spread a skewed
+aggregation. Replication factor is the cost knob: the dim shuffle
+grows n_salts-fold, so pick n_salts ~ (hot-key rows / target task
+rows), not the cluster width.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+SALT_COL = "_salt"
 
-def salted_aggregate(
-    df: DataFrame,
-    keys: Sequence[str],
-    partial_aggs: dict[str, Column],
-    merge_aggs: dict[str, Column],
-    salt: int = 16,
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 8,
+    how: str = "inner",
 ) -> DataFrame:
-    """Two-phase (salted) aggregation for skewed group keys.
+    """Join ``fact`` to ``dim`` on ``key`` with ``n_salts``-way salting.
 
-    Phase 1 groups by (keys…, salt) computing ``partial_aggs``;
-    phase 2 groups by keys merging with ``merge_aggs`` (referring to
-    the phase-1 output columns). Example::
-
-        salted_aggregate(
-            df, ["song_id"],
-            partial_aggs={"c": F.count(F.lit(1)), "s": F.sum("score")},
-            merge_aggs={"n": F.sum("c"), "total": F.sum("s")},
-        )
+    ``salt_src`` names a fact column that is unique-ish per row (an
+    event/row id); the salt is ``pmod(xxhash64(salt_src), n_salts)``
+    so re-runs land rows on the same reducer (deterministic plans,
+    stable tests). The dim side explodes one replica per salt value.
+    Only inner and left(-outer) joins keep exact semantics under
+    replication; right/full would duplicate unmatched dim rows.
     """
-    salted = df.withColumn(
-        "_salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    f = fact.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
     )
-    phase1 = salted.groupBy(*keys, "_salt").agg(
-        *[c.alias(n) for n, c in partial_aggs.items()]
+    d = dim.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    return phase1.groupBy(*keys).agg(*[c.alias(n) for n, c in merge_aggs.items()])
-
-
-def salted_broadcast_left(fact: DataFrame, dim: DataFrame, on: Sequence[str]) -> DataFrame:
-    """Join a (possibly skewed) fact to a small dim without shuffling
-    the fact side: explicit broadcast of the dim. Raises early if the
-    dim is implausibly large to broadcast (> 10M rows)."""
-    n = dim.count()
-    if n > 10_000_000:
-        raise ValueError(
-            f"dim has {n} rows; too large to broadcast — bucket or let "
-            "AQE skew-split a shuffle join instead"
-        )
-    return fact.join(F.broadcast(dim), list(on), "left")
+    # shuffle_hash hint: the whole point is a shuffled join spread over
+    # (key, salt); broadcasting the replicated dim would both defeat
+    # the demonstration and waste n_salts x driver memory.
+    return f.join(d.hint("shuffle_hash"), on=[key, SALT_COL], how=how).drop(SALT_COL)
