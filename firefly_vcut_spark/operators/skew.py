@@ -1,30 +1,72 @@
-"""Salted join: the explicit-plan fix for skewed join keys.
+"""Skew- and shuffle-management utilities for the 100 TB posture.
 
-When one join key carries a disproportionate share of a huge fact
-table (hot users, null-ish sentinel keys, power-law ids), a plain
-shuffle join lands that key's every row in ONE reducer task and the
-stage runs at the speed of its slowest straggler. Salting splits each
-key's rows across ``n_salts`` reducers: the fact side appends a
-deterministic salt in [0, n_salts) hashed from a row-unique column,
-and the (much smaller, but not broadcast-small) dim side replicates
-each row once per salt value, so (key, salt) spreads every hot key
-over n_salts tasks. Equality on (key, salt) preserves exact inner /
-left-outer join semantics: every fact row still meets exactly the one
-dim replica carrying its salt.
+AQE's skew-join splitting handles most cases at runtime; these cover
+the two patterns AQE cannot fix:
 
-AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`) does this
-adaptively for sort-merge joins; the explicit form is the one you
-reach for when the skew is known ahead of time, when the join is a
-shuffled hash join, or when the same trick must also spread a skewed
-aggregation. Replication factor is the cost knob: the dim shuffle
-grows n_salts-fold, so pick n_salts ~ (hot-key rows / target task
-rows), not the cluster width.
+- ``salted_aggregate`` — a hot GROUP BY key (one vtuber's million
+  recordings, one song's candidate flood) overloads a single reducer.
+  Two-phase aggregation over a salted key spreads the hot key across
+  ``salt`` reducers, then merges the partials. Correct for any
+  algebraic aggregate (the caller provides partial + merge exprs).
+- ``salted_broadcast_left`` — a skewed fact side joining a *small*
+  dim should be a broadcast join (no shuffle of the skewed side at
+  all); the helper exists to make the choice explicit and assert the
+  dim is actually broadcastable.
+
+Bucketed co-located joins (two big tables repeatedly joined on the
+same key) are storage-layout work, not an operator: see
+tests/test_scale.py::test_bucketed_join_avoids_shuffle for the
+bucketBy write + shuffle-free sort-merge join recipe.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: dict[str, Column],
+    merge_aggs: dict[str, Column],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed group keys.
+
+    Phase 1 groups by (keys…, salt) computing ``partial_aggs``;
+    phase 2 groups by keys merging with ``merge_aggs`` (referring to
+    the phase-1 output columns). Example::
+
+        salted_aggregate(
+            df, ["song_id"],
+            partial_aggs={"c": F.count(F.lit(1)), "s": F.sum("score")},
+            merge_aggs={"n": F.sum("c"), "total": F.sum("s")},
+        )
+    """
+    salted = df.withColumn(
+        "_salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt
+    )
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[c.alias(n) for n, c in partial_aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(*[c.alias(n) for n, c in merge_aggs.items()])
+
+
+def salted_broadcast_left(fact: DataFrame, dim: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Join a (possibly skewed) fact to a small dim without shuffling
+    the fact side: explicit broadcast of the dim. Raises early if the
+    dim is implausibly large to broadcast (> 10M rows)."""
+    n = dim.count()
+    if n > 10_000_000:
+        raise ValueError(
+            f"dim has {n} rows; too large to broadcast — bucket or let "
+            "AQE skew-split a shuffle join instead"
+        )
+    return fact.join(F.broadcast(dim), list(on), "left")
+
 
 SALT_COL = "_salt"
 
@@ -37,14 +79,19 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Join ``fact`` to ``dim`` on ``key`` with ``n_salts``-way salting.
+    """Salted SHUFFLED join — for the case both helpers above decline:
+    a skewed fact joining a dim too big to broadcast.
 
-    ``salt_src`` names a fact column that is unique-ish per row (an
-    event/row id); the salt is ``pmod(xxhash64(salt_src), n_salts)``
-    so re-runs land rows on the same reducer (deterministic plans,
-    stable tests). The dim side explodes one replica per salt value.
-    Only inner and left(-outer) joins keep exact semantics under
-    replication; right/full would duplicate unmatched dim rows.
+    The fact appends salt = ``pmod(xxhash64(salt_src), n_salts)``
+    (``salt_src`` is a row-unique fact column, so re-runs land rows on
+    the same reducer — deterministic plans, stable tests); the dim
+    replicates one copy per salt value, so equality on (key, salt)
+    spreads each hot key's rows over ``n_salts`` reducers while every
+    fact row still meets exactly the one replica carrying its salt.
+    Exact for inner and left joins; right/full would duplicate
+    unmatched dim rows, so they are rejected. Replication is the cost
+    knob: the dim shuffle grows n_salts-fold, so pick n_salts ~
+    (hot-key rows / target task rows), not the cluster width.
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
