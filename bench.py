@@ -5,7 +5,7 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed over a full execution (collect-less: count() on
 the result so every operator runs but driver transfer stays flat),
-best-of-$SPARK_GRAFT_BENCH_REPS (default 3) — the min is the
+best-of-$SPARK_GRAFT_BENCH_REPS (default 5) — the min is the
 steady-state cost; the spread is host-VM scheduling noise, which on a
 shared hypervisor can inflate a single sample 2-3x.
 """
@@ -77,7 +77,7 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces errors
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     for name in bench_names:
         tune(name)
