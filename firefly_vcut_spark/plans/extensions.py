@@ -17,6 +17,7 @@ from firefly_vcut_spark.operators.ann import (
     brute_force_topk,
     bucketed_topk,
     ivf_lloyd_topk,
+    pq_adc_topk,
 )
 from firefly_vcut_spark.operators.dedup import (
     embedding_near_dups,
@@ -717,6 +718,114 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator with its own recall-vs-brute-force pytest gate."""
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_lloyd_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+def _pq_adc_sql(
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    dim: int = 64,
+    fit_limit: int = 20_000,
+) -> str:
+    """DuckDB twin of pq_adc_topk: replays the hash-ordered fit sample,
+    the per-subspace fixed-iteration Lloyd codebooks (unrolled, same
+    round-6 quantization as the Spark/numpy side), the per-row codeword
+    choice, the reconstruction concat, and the ADC cosine rank."""
+    from firefly_vcut_spark.operators.ann import IVF_FIT_HASH_A, IVF_FIT_HASH_MOD
+
+    d_sub = dim // m
+    dist = (
+        "round(list_aggregate(list_transform(range(1, len({v}) + 1), "
+        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum'), 6)"
+    )
+    hord = f"(vec_id * {IVF_FIT_HASH_A}) % {IVF_FIT_HASH_MOD}"
+    blocks = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        blocks.append(f"""
+    fs{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM fit),
+    s{s}c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY {hord}, vec_id) AS INTEGER) - 1 AS cell,
+             v AS c
+      FROM fs{s} ORDER BY {hord}, vec_id LIMIT {ks}
+    )""")
+        prev = f"s{s}c0"
+        for t in range(1, iters + 1):
+            d = dist.format(v="f.v", c="ct.c")
+            blocks.append(f"""
+    s{s}a{t} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT f.vec_id, f.v, ct.cell,
+               row_number() OVER (PARTITION BY f.vec_id
+                   ORDER BY {d} ASC, ct.cell ASC) AS rn
+        FROM fs{s} f CROSS JOIN {prev} ct) t WHERE rn = 1
+    ),
+    s{s}m{t} AS (
+      SELECT cell, idx, round(avg(v[idx]), 6) AS mu FROM (
+        SELECT cell, v, unnest(range(1, len(v) + 1)) AS idx FROM s{s}a{t}) t
+      GROUP BY cell, idx
+    ),
+    s{s}u{t} AS (SELECT cell, list(mu ORDER BY idx) AS c FROM s{s}m{t} GROUP BY cell),
+    s{s}c{t} AS (
+      SELECT p.cell, coalesce(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN s{s}u{t} u USING (cell)
+    )""")
+            prev = f"s{s}c{t}"
+        enc_d = dist.format(v="e.sv", c="ct.c")
+        blocks.append(f"""
+    es{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM emb),
+    enc{s} AS (
+      SELECT vec_id, c FROM (
+        SELECT e.vec_id, ct.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {enc_d} ASC, ct.cell ASC) AS rn
+        FROM es{s} e CROSS JOIN {prev} ct) t WHERE rn = 1
+    )""")
+    fit_cte = ",".join(blocks)
+    concat = " || ".join(f"e{s}.c" for s in range(m))
+    joins = " ".join(f"JOIN enc{s} e{s} ON e{s}.vec_id = e0.vec_id" for s in range(1, m))
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    fit AS (SELECT vec_id, v FROM emb ORDER BY {hord}, vec_id LIMIT {fit_limit}),{fit_cte},
+    recon AS (
+      SELECT e0.vec_id AS neighbor_id, {concat} AS recon
+      FROM enc0 e0 {joins}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, r.neighbor_id,
+             round(list_cosine_similarity(q.qv, r.recon), 4) AS cos_sim
+      FROM recon r CROSS JOIN q
+      WHERE r.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_pq_adc_topk",
+    sql=_pq_adc_sql(),
+    tags=("ann", "extension", "vector"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (the memory-compression scale
+    path): 4 subspaces × 8 codewords fit by the deterministic Lloyd
+    recipe on the hash-ordered sample, corpus rows encoded to 4 codes
+    (64-dim float32 → 4 bytes/row), queries score exact-vs-
+    reconstruction cosine. Fully hash-checked: the oracle replays the
+    per-subspace codebooks, encoding, and reconstruction in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
 
 
 # ---------------------------------------------------------------------------
