@@ -84,6 +84,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.pipeline_ops  # noqa: F401
     import firefly_vcut_spark.plans.temporal_sql  # noqa: F401
     import firefly_vcut_spark.plans.scale_joins  # noqa: F401
+    import firefly_vcut_spark.plans.layout_sql  # noqa: F401
 
 
 # Registry-order insurance (VERDICT r1 item 8): the driver records the
@@ -126,7 +127,7 @@ _FRONT50 = [
     "dedup_simhash",
     "dedup_lsh_then_verify",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "layout_zorder_files",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed_topk",
     "ann_ivf_kmeans_topk",

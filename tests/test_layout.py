@@ -1,0 +1,75 @@
+"""Z-order layout: Morton interleave correctness, the multi-dimensional
+pruning property the layout exists for, and the no-sort plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.operators.layout import zvalue, zvalue_sql
+from firefly_vcut_spark.plans import all_queries
+
+QS = all_queries()
+
+
+def _morton(a: int, b: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_matches_python_morton(spark):
+    pairs = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (149, 245), (37, 201)]
+    df = spark.createDataFrame(pairs, "a int, b int").withColumn(
+        "z", zvalue(F.col("a"), F.col("b"), 8)
+    )
+    got = {(r.a, r.b): r.z for r in df.collect()}
+    for a, b in pairs:
+        assert got[(a, b)] == _morton(a, b), (a, b)
+
+
+def test_zvalue_sql_matches_column_expr(spark):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT a, b, {zvalue_sql('a', 'b', 8)} AS z FROM "
+        "(SELECT unnest([0, 1, 255, 170, 149]) a, unnest([0, 1, 255, 85, 245]) b)"
+    ).fetchall()
+    for a, b, z in rows:
+        assert z == _morton(a, b), (a, b)
+
+
+def test_zorder_files_are_narrow_rectangles(spark, sf_dir):
+    """The point of the layout: each z-file covers at most a quarter of
+    each dimension's range (vs a 1-D layout where the unsorted
+    dimension spans the full range in EVERY file)."""
+    rows = QS["layout_zorder_files"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_ub - r.min_ub <= 64, r
+        assert r.max_vb - r.min_vb <= 64, r
+
+
+def test_zorder_prunes_probes_on_either_dimension(spark, sf_dir):
+    """A probe rectangle on EITHER single dimension must touch a small
+    fraction of files. file_id = (vb7, ub7, vb6, ub6, vb5), so vb<32
+    structurally confines the probe to ≤4 of 32 file ids, and ub<64 to
+    ≤8 — the footer min/max can only shrink that set further."""
+    rows = QS["layout_zorder_files"].fn(spark, sf_dir).collect()
+    n_files = len(rows)
+    vb_probe = [r for r in rows if r.min_vb < 32]
+    ub_probe = [r for r in rows if r.min_ub < 64]
+    assert len(vb_probe) <= 4
+    assert len(ub_probe) <= 8
+    # structural confinement: ub<64 → file bits 3,1 (ub7, ub6) zero
+    assert {r.file_id for r in ub_probe} <= {0, 1, 4, 5, 16, 17, 20, 21}
+    assert n_files >= 4  # the data actually spreads across the curve
+
+
+def test_zorder_plan_has_no_sort_single_shuffle(spark, sf_dir):
+    df = QS["layout_zorder_files"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan
+    assert plan.count("Exchange") == 1  # the groupBy(file_id) only
+    assert "partial_" in plan  # map-side combine before that shuffle
