@@ -94,6 +94,72 @@ def word_ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def char_bigrams(text: Column) -> Column:
+    """Character bigrams of the normalized text (array of length-2
+    substrings); empty array for texts shorter than 2 chars."""
+    t = normalized_text(text)
+    return F.when(
+        F.length(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: F.substring(t, i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_lm_scores(docs, train_filter: Column):
+    """CCNet-style language-model quality scoring with a character
+    bigram model: train add-1-smoothed bigram probabilities on the
+    ``train_filter`` slice of the corpus, score EVERY document by its
+    length-normalized log-probability (the perplexity-filter signal —
+    Wenzek et al., CCNet, LREC'20).
+
+    Scale shape: the expensive explode is aggregated ONCE into
+    per-doc bigram counts (map-side partial agg; key space = doc ×
+    ~1k bigram vocab); the model, context totals, and vocab size all
+    derive from that compact table and are vocab-bounded, so they
+    BROADCAST — scoring is two broadcast joins plus the natural
+    groupBy(doc_id). Per-bigram log-probs are quantized to 1e-6 and
+    summed as INTEGERS, so partial-agg order can never move the hash.
+
+    Returns (doc_id, lang, n_bigrams, avg_logp)."""
+    grams = docs.select(
+        "doc_id", "lang", F.explode(char_bigrams(F.col("text"))).alias("bg")
+    )
+    doc_bg = grams.groupBy("doc_id", "lang", "bg").agg(F.count("*").alias("m"))
+    model = (
+        doc_bg.filter(train_filter)
+        .groupBy("bg")
+        .agg(F.sum("m").alias("nbg"))
+    )
+    ctx = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("nbg").alias("c1n")
+    )
+    voc = model.select(
+        F.count_distinct(F.substring("bg", 2, 1)).alias("v_size")
+    )
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("nbg"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("c1n"), F.lit(0)) + F.col("v_size"))
+        )
+        * 1e6
+    ).cast("long")
+    scored = (
+        doc_bg.join(F.broadcast(model), "bg", "left")
+        .withColumn("c1", F.substring("bg", 1, 1))
+        .join(F.broadcast(ctx), "c1", "left")
+        .crossJoin(F.broadcast(voc))
+        .withColumn("lp", lp)
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.round(F.sum(F.col("m") * F.col("lp")) / (F.lit(1e6) * F.sum("m")), 4).alias(
+            "avg_logp"
+        ),
+    )
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Content fingerprint: md5 digest of normalized text."""
     return F.md5(normalized_text(text))

@@ -1291,3 +1291,58 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup3_frac").cast("double").alias("dup3_frac"),
         F.coalesce(F.col("top2_frac"), F.lit(0.0)).cast("double").alias("top2_frac"),
     )
+
+
+@query(
+    "text_char_lm_scores",
+    sql=f"""
+    WITH norm AS (SELECT doc_id, lang, {_NORM} AS t FROM documents),
+    bg_all AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS bg
+      FROM norm WHERE length(t) >= 2
+    ),
+    doc_bg AS (SELECT doc_id, lang, bg, count(*) AS m FROM bg_all GROUP BY 1, 2, 3),
+    model AS (
+      SELECT bg, CAST(sum(m) AS BIGINT) AS nbg FROM doc_bg
+      WHERE lang = 'en' GROUP BY 1
+    ),
+    ctx AS (SELECT substr(bg, 1, 1) AS c1, CAST(sum(nbg) AS BIGINT) AS c1n
+            FROM model GROUP BY 1),
+    voc AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v_size FROM model),
+    scored AS (
+      SELECT d.doc_id, d.lang, d.m,
+             CAST(round(ln((coalesce(mo.nbg, 0) + 1.0)
+                           / (coalesce(c.c1n, 0) + v.v_size)) * 1000000)
+                  AS BIGINT) AS lp
+      FROM doc_bg d
+      LEFT JOIN model mo USING (bg)
+      LEFT JOIN ctx c ON c.c1 = substr(d.bg, 1, 1)
+      CROSS JOIN voc v
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(sum(m * lp) / (1000000.0 * sum(m)), 4) AS avg_logp
+    FROM scored GROUP BY 1, 2
+    """,
+    tags=("text", "extension"),
+)
+def text_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM quality scores (CCNet recipe): add-1
+    character-bigram model trained on the lang='en' slice, every doc
+    scored by length-normalized log-prob. One explode aggregated once,
+    vocab-bounded model broadcast, integer-quantized log-probs for
+    engine-exact summation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_char_lm_filter_impl(docs)
+
+
+def text_char_lm_filter_impl(docs: DataFrame) -> DataFrame:
+    from firefly_vcut_spark.operators.text import char_lm_scores
+
+    return char_lm_scores(docs, F.col("lang") == "en").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("lang").cast("string").alias("lang"),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("avg_logp").cast("double").alias("avg_logp"),
+    )

@@ -192,6 +192,34 @@ def test_pq_codebooks_shapes_and_determinism():
         pq_codebooks(vecs, m=3, ks=4, iters=1)
 
 
+def test_char_lm_scores_structure(spark, sf_dir):
+    """Every scored doc has a finite negative length-normalized
+    log-prob and a positive bigram count; the synthetic corpus shares
+    one vocabulary so per-language means cluster (~-1.71) — the
+    discrimination property is asserted on a planted corpus below."""
+    rows = QS["text_char_lm_scores"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams > 0
+        assert -20.0 < r.avg_logp < 0.0, r
+
+
+def test_char_lm_flags_gibberish(spark):
+    """The perplexity-filter property: a gibberish doc (bigrams unseen
+    in training) must score well below the in-distribution docs."""
+    from firefly_vcut_spark.operators.text import char_lm_scores
+
+    normal = [(i, "en", "the cat sat on the mat and the dog ran to the cat") for i in range(8)]
+    docs = spark.createDataFrame(
+        normal + [(99, "zz", "qxjzv wkqpx jvqzx zzqxj vkwpq xjqzv")],
+        "doc_id long, lang string, text string",
+    )
+    rows = char_lm_scores(docs, F.col("lang") == "en").collect()
+    scores = {r.doc_id: r.avg_logp for r in rows}
+    in_dist = [s for d, s in scores.items() if d != 99]
+    assert scores[99] < min(in_dist) - 1.0, scores
+
+
 def test_ann_ivf_spark_ml_kmeans_recall(spark, sf_dir):
     """The Spark-ML KMeans IVF operator (the alternative quantizer to
     the deterministic Lloyd path the registry query runs): scored
