@@ -123,33 +123,45 @@ def char_lm_scores(docs, train_filter: Column):
     summed as INTEGERS, so partial-agg order can never move the hash.
 
     Returns (doc_id, lang, n_bigrams, avg_logp)."""
+    spark = docs.sparkSession
     grams = docs.select(
         "doc_id", "lang", F.explode(char_bigrams(F.col("text"))).alias("bg")
     )
     doc_bg = grams.groupBy("doc_id", "lang", "bg").agg(F.count("*").alias("m"))
-    model = (
-        doc_bg.filter(train_filter)
+
+    # Model fit: ONE pass over the training slice, collected driver-side
+    # (the model is vocab-bounded — O(charset²) rows, like the IVF/PQ
+    # sample fits); context totals and vocab size are then free Python
+    # folds instead of three more explode+aggregate lineages.
+    model_rows = (
+        docs.filter(train_filter)
+        .select(F.explode(char_bigrams(F.col("text"))).alias("bg"))
         .groupBy("bg")
-        .agg(F.sum("m").alias("nbg"))
+        .agg(F.count("*").alias("nbg"))
+        .collect()
     )
-    ctx = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
-        F.sum("nbg").alias("c1n")
+    if not model_rows:
+        raise ValueError("char_lm_scores: empty training slice")
+    ctx: dict[str, int] = {}
+    for r in model_rows:
+        ctx[r.bg[0]] = ctx.get(r.bg[0], 0) + r.nbg
+    v_size = len({r.bg[1] for r in model_rows})
+    model_df = spark.createDataFrame(
+        [(r.bg, r.nbg) for r in model_rows], "bg string, nbg long"
     )
-    voc = model.select(
-        F.count_distinct(F.substring("bg", 2, 1)).alias("v_size")
-    )
+    ctx_df = spark.createDataFrame(list(ctx.items()), "c1 string, c1n long")
+
     lp = F.round(
         F.log(
             (F.coalesce(F.col("nbg"), F.lit(0)) + F.lit(1.0))
-            / (F.coalesce(F.col("c1n"), F.lit(0)) + F.col("v_size"))
+            / (F.coalesce(F.col("c1n"), F.lit(0)) + F.lit(v_size))
         )
         * 1e6
     ).cast("long")
     scored = (
-        doc_bg.join(F.broadcast(model), "bg", "left")
+        doc_bg.join(F.broadcast(model_df), "bg", "left")
         .withColumn("c1", F.substring("bg", 1, 1))
-        .join(F.broadcast(ctx), "c1", "left")
-        .crossJoin(F.broadcast(voc))
+        .join(F.broadcast(ctx_df), "c1", "left")
         .withColumn("lp", lp)
     )
     return scored.groupBy("doc_id", "lang").agg(

@@ -148,3 +148,23 @@ def test_canonical_docs_pairs_have_no_id_gap_blocking(spark, sf_dir):
     assert "band_hash" in plan  # LSH banding feeds the pairs
     assert "CartesianProduct" not in plan
     assert "id_gap" not in plan and "max_id_gap" not in plan
+
+
+def test_char_lm_scoring_single_explode_broadcast_model(spark, sf_dir):
+    """The LM fit is a separate vocab-bounded collect job; the scoring
+    plan itself must explode the corpus exactly ONCE and join the
+    model/context as broadcasts (no re-aggregated training lineages)."""
+    plan = _plan(spark, sf_dir, "text_char_lm_scores")
+    assert plan.count("Generate explode") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_no_shuffle_before_rank(spark, sf_dir):
+    """PQ-ADC: encode+reconstruct is map-side over the corpus scan; the
+    only wide exchanges are the scan repartition and the per-query
+    rank; the query side broadcasts."""
+    plan = _plan(spark, sf_dir, "ann_pq_adc_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast cross, not shuffle
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # rank only
