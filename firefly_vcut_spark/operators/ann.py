@@ -384,6 +384,54 @@ def pq_adc_topk(
     return _ranked_topk(scored, k)
 
 
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_prime: int = 20,
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-ADC candidate generation + EXACT re-rank: the two-stage
+    retrieval layout. Stage 1 sweeps the compressed codes for a
+    k'-candidate shortlist per query (all the I/O savings of
+    ``pq_adc_topk``); stage 2 fetches the TRUE vectors for only the
+    |queries|·k' shortlist rows — broadcast back against the corpus
+    scan, a semi-join-shaped gather — and re-scores them exactly.
+
+    Result quality: exact cosine on everything returned, so wherever
+    the shortlist contains a true neighbor the final ranking is the
+    brute-force ranking (the pytest gate asserts score equality with
+    brute force pair-for-pair and recall ≥ the raw ADC pass)."""
+    cand = pq_adc_topk(
+        corpus, queries, k=k_prime, m=m, ks=ks, iters=iters,
+        vec_col=vec_col, id_col=id_col,
+    ).select("query_id", "neighbor_id")
+    emb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    scored = (
+        emb.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame,
     queries: DataFrame,

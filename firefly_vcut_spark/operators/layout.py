@@ -46,6 +46,42 @@ def zvalue_sql(a: str, b: str, bits: int = 8) -> str:
     return " + ".join(terms)
 
 
+def prune_files_for_probe(
+    stats,
+    ub_range: tuple[int, int] | None = None,
+    vb_range: tuple[int, int] | None = None,
+) -> list[int]:
+    """Reader-side pruning: given the collected per-file stats rows
+    (the layout audit, standing in for parquet footer min/max), return
+    the file_ids whose rectangle intersects the probe ranges. At scale
+    this is what the scan planner does with footer stats; here it
+    drives partition pruning on the ``file_id`` write column."""
+    keep = []
+    for r in stats:
+        if ub_range and (r.max_ub < ub_range[0] or r.min_ub > ub_range[1]):
+            continue
+        if vb_range and (r.max_vb < vb_range[0] or r.min_vb > vb_range[1]):
+            continue
+        keep.append(r.file_id)
+    return keep
+
+
+def zorder_assign(events: DataFrame, bits: int = 8, file_bits: int = 5) -> DataFrame:
+    """The write-side projection: events + (ub, vb, z, file_id) columns,
+    ready for ``repartition(file_id).sortWithinPartitions(z)
+    .write.partitionBy(file_id)``."""
+    hi = (1 << bits) - 1
+    ub = F.pmod(F.col("user_id"), F.lit(1 << bits)).cast("int")
+    vb = F.least(F.floor(F.col("value") / 2).cast("int"), F.lit(hi))
+    z = zvalue(ub, vb, bits)
+    return (
+        events.withColumn("ub", ub.cast("long"))
+        .withColumn("vb", vb.cast("long"))
+        .withColumn("z", z.cast("long"))
+        .withColumn("file_id", F.shiftright(z, 2 * bits - file_bits).cast("long"))
+    )
+
+
 def zorder_file_stats(
     events: DataFrame,
     bits: int = 8,
@@ -58,17 +94,9 @@ def zorder_file_stats(
     Dimension buckets: user_id mod 2^bits (hash-stable at any user
     count) and value/2 clamped to 2^bits-1 (range-stable). One
     map-side projection + one groupBy shuffle on file_id; no sort."""
-    hi = (1 << bits) - 1
-    ub = F.pmod(F.col("user_id"), F.lit(1 << bits)).cast("int")
-    vb = F.least(F.floor(F.col("value") / 2).cast("int"), F.lit(hi))
-    z = zvalue(ub, vb, bits)
-    file_id = F.shiftright(z, 2 * bits - file_bits)
     return (
-        events.select(
-            file_id.cast("long").alias("file_id"),
-            ub.cast("long").alias("ub"),
-            vb.cast("long").alias("vb"),
-        )
+        zorder_assign(events, bits, file_bits)
+        .select("file_id", "ub", "vb")
         .groupBy("file_id")
         .agg(
             F.count("*").alias("n_rows"),

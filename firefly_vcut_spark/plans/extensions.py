@@ -812,6 +812,48 @@ def _pq_adc_sql(
     """
 
 
+def _pq_rerank_sql(k: int = 5, k_prime: int = 20, **kw) -> str:
+    """Wrap the PQ-ADC twin: shortlist at rank ≤ k', re-score the
+    shortlist with the TRUE vectors, re-rank to k."""
+    base = _pq_adc_sql(k=k_prime, **kw)
+    head, _sep, _tail = base.rpartition("SELECT query_id, neighbor_id, cos_sim")
+    return f"""{head.rstrip()},
+    cand AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rank <= {k_prime}
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
+      FROM cand c
+      JOIN emb e ON e.vec_id = c.neighbor_id
+      JOIN q ON q.query_id = c.query_id
+    ),
+    rranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM rescored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM rranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_pq_rerank_topk",
+    sql=_pq_rerank_sql(),
+    tags=("ann", "extension", "vector"),
+)
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC shortlist (k'=20 over the 4-byte
+    codes) + exact cosine re-rank of the shortlist (true vectors
+    gathered by broadcast semi-join). Exact scores on everything
+    returned; fully hash-checked end to end."""
+    from firefly_vcut_spark.operators.ann import pq_rerank_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_rerank_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
 @query(
     "ann_pq_adc_topk",
     sql=_pq_adc_sql(),

@@ -175,6 +175,28 @@ def test_ann_pq_adc_structure_and_recall(spark, sf_dir):
     assert hits / len(rows) >= 0.05, f"recall@5 below chance-adjusted floor: {hits}/{len(rows)}"
 
 
+def test_pq_rerank_exact_scores_and_recall_gain(spark, sf_dir):
+    """Two-stage PQ: every returned score must EQUAL the brute-force
+    cosine for that pair (stage 2 is exact), and recall@5 must be ≥
+    the raw ADC pass (re-ranking a 20-candidate shortlist can only
+    fix orderings, never lose a hit)."""
+    bf = {}
+    for r in QS["ann_bruteforce_topk"].fn(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, {})[r.neighbor_id] = r.cos_sim
+    adc = QS["ann_pq_adc_topk"].fn(spark, sf_dir).collect()
+    rer = QS["ann_pq_rerank_topk"].fn(spark, sf_dir).collect()
+    assert rer
+
+    def recall(rows):
+        hits = sum(1 for r in rows if r.neighbor_id in bf.get(r.query_id, {}))
+        return hits / len(rows)
+
+    for r in rer:
+        if r.neighbor_id in bf.get(r.query_id, {}):
+            assert bf[r.query_id][r.neighbor_id] == r.cos_sim, r
+    assert recall(rer) >= recall(adc)
+
+
 def test_pq_codebooks_shapes_and_determinism():
     """Codebook fit is a pure function: m books of ks centroids of
     dim/m coordinates, identical across calls, error on bad m."""

@@ -73,3 +73,40 @@ def test_zorder_plan_has_no_sort_single_shuffle(spark, sf_dir):
     assert "Sort" not in plan
     assert plan.count("Exchange") == 1  # the groupBy(file_id) only
     assert "partial_" in plan  # map-side combine before that shuffle
+
+
+def test_zorder_write_prune_read_roundtrip(spark, sf_dir, tmp_path):
+    """End-to-end: physically write the z-ordered layout
+    (partitionBy(file_id), z-sorted within partitions), prune files
+    from the layout stats for a vb-probe, and read ONLY those files —
+    same answer as the unpruned filter, with partition pruning proven
+    in the scan plan."""
+    from firefly_vcut_spark.operators.layout import (
+        prune_files_for_probe,
+        zorder_assign,
+    )
+    from firefly_vcut_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "zorder_events")
+    (
+        zorder_assign(events)
+        .repartition("file_id")
+        .sortWithinPartitions("z")
+        .write.partitionBy("file_id")
+        .parquet(path)
+    )
+    stats = QS["layout_zorder_files"].fn(spark, sf_dir).collect()
+    keep = prune_files_for_probe(stats, vb_range=(0, 31))
+    assert 0 < len(keep) < len(stats)  # pruning actually drops files
+
+    back = spark.read.parquet(path)
+    probe = F.col("vb").between(0, 31)
+    full_ids = {r.event_id for r in back.filter(probe).select("event_id").collect()}
+    pruned_df = back.filter(F.col("file_id").isin(keep) & probe)
+    pruned_ids = {r.event_id for r in pruned_df.select("event_id").collect()}
+    assert pruned_ids == full_ids
+
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "file_id" in plan.split("PartitionFilters:")[1].splitlines()[0]
