@@ -828,3 +828,79 @@ def corpus_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(t, 1, 25), " ").alias("text"),
     )
     return dup_span_removal(d.unionByName(planted), k=_DUP_K)
+
+
+@query(
+    "corpus_boilerplate_grams",
+    sql=f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'follow ' || source || ' for updates ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    norm AS (SELECT doc_id, source, {_TOKS} AS t FROM corpus),
+    grams AS (
+        SELECT doc_id, source,
+               list_distinct(CASE WHEN len(t) >= 4
+                    THEN [array_to_string(t[i:i+3], ' ')
+                          for i in range(1, len(t) - 2)]
+                    ELSE []::VARCHAR[] END) AS gs
+        FROM norm
+    ),
+    g AS (SELECT doc_id, source, unnest(gs) AS gram FROM grams),
+    per_sg AS (SELECT source, gram, count(*) AS n_docs FROM g GROUP BY 1, 2),
+    tot AS (SELECT source, count(*) AS src_docs FROM corpus GROUP BY 1)
+    SELECT p.source, p.gram,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(t.src_docs AS BIGINT) AS src_docs,
+           round(p.n_docs * 1.0 / t.src_docs, 4) AS frac
+    FROM per_sg p JOIN tot t USING (source)
+    WHERE t.src_docs >= 5 AND p.n_docs * 1.0 / t.src_docs >= 0.25
+    """,
+    tags=("corpus", "extension"),
+)
+def corpus_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate template detection (the CCNet per-domain
+    dedup signal): word 4-grams present in ≥25% of a source's docs are
+    site templates, not content — the removal list a crawl pipeline
+    feeds back into span scrubbing. A deterministic template
+    ('follow <source> for updates') is planted on every third doc so
+    the detector provably fires per source.
+
+    Scale shape: per-doc DISTINCT grams ride the scan (array_distinct
+    in codegen), ONE shuffle on (source, gram) whose width is bounded
+    by the per-source template vocabulary after the threshold, and the
+    per-source totals broadcast."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("follow "), F.col("source"), F.lit(" for updates "), F.col("text")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    grams = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(tx.word_ngrams(tx.tokens(F.col("text")), 4))
+        ).alias("gram"),
+    )
+    per_sg = grams.groupBy("source", "gram").agg(F.count("*").alias("n_docs"))
+    tot = docs.groupBy("source").agg(F.count("*").alias("src_docs"))
+    return (
+        per_sg.join(F.broadcast(tot.filter(F.col("src_docs") >= 5)), "source")
+        .withColumn("frac", F.round(F.col("n_docs") * 1.0 / F.col("src_docs"), 4))
+        .filter(F.col("n_docs") * 1.0 / F.col("src_docs") >= 0.25)
+        .select(
+            F.col("source").cast("string").alias("source"),
+            F.col("gram").cast("string").alias("gram"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("src_docs").cast("bigint").alias("src_docs"),
+            F.col("frac").cast("double").alias("frac"),
+        )
+    )

@@ -307,3 +307,20 @@ def test_dup_span_removal_short_docs_pass_through(spark):
     rows = {r["doc_id"]: r for r in dup_span_removal(df, k=8).collect()}
     assert all(rows[i]["n_removed"] == 0 for i in (1, 2, 3))
     assert rows[3]["n_tokens"] == 1  # split('') -> [''], same as oracle
+
+
+def test_boilerplate_detector_fires_per_source(spark, sf_dir):
+    """Every source with >=5 docs must surface its planted template
+    gram at roughly the planted 1/3 rate."""
+    from firefly_vcut_spark.plans import all_queries
+
+    rows = all_queries()["corpus_boilerplate_grams"].fn(spark, sf_dir).collect()
+    if not rows:  # sf too small for the >=5-docs-per-source guard
+        return
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.gram] = r
+    for src, grams in by_src.items():
+        planted = f"follow {src} for updates"
+        assert planted in grams, (src, sorted(grams))
+        assert 0.25 <= grams[planted].frac <= 0.45
