@@ -413,3 +413,100 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
         )
     )
+
+
+@query(
+    "win_funnel_conversion",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, ts FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+      SELECT *,
+             max(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_view_ts
+      FROM e
+    ),
+    s2 AS (
+      SELECT *,
+             (event_type = 'click' AND last_view_ts IS NOT NULL
+              AND last_view_ts >= ts - INTERVAL '30 minutes') AS qual_click
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *,
+             max(CASE WHEN qual_click THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_qual_click_ts
+      FROM s2
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+               AS n_views,
+           CAST(count(CASE WHEN qual_click THEN 1 END) AS BIGINT)
+               AS n_funnel_clicks,
+           CAST(count(CASE WHEN event_type = 'purchase'
+                            AND last_qual_click_ts IS NOT NULL
+                            AND last_qual_click_ts >= ts - INTERVAL '30 minutes'
+                           THEN 1 END) AS BIGINT) AS n_funnel_purchases
+    FROM s3 GROUP BY 1
+    """,
+    tags=("window", "analytics", "temporal"),
+)
+def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click ≤30 min → purchase ≤30 min)
+    computed with WINDOW functions, not self-joins: each event carries
+    the timestamp of the last preceding step via a running
+    conditional-MAX frame, so the whole funnel is ONE shuffle on
+    user_id reused by both window passes and the final rollup — the
+    shape that survives 100 TB where an events×events interval join
+    (the st_click_purchase_pairs demo shape) quadratically would not.
+    Tie-stable: frames order by (ts, event_id)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    s1 = ev.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "qual_click",
+        (F.col("event_type") == "click")
+        & F.col("last_view_ts").isNotNull()
+        & (F.col("last_view_ts") >= F.col("ts") - half_hour),
+    )
+    s3 = s2.withColumn(
+        "last_qual_click_ts",
+        F.max(F.when(F.col("qual_click"), F.col("ts"))).over(w),
+    )
+    return s3.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("bigint").alias("n_views"),
+        F.count(F.when(F.col("qual_click"), 1)).cast("bigint").alias("n_funnel_clicks"),
+        F.count(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("last_qual_click_ts").isNotNull()
+                & (F.col("last_qual_click_ts") >= F.col("ts") - half_hour),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_funnel_purchases"),
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_views",
+        "n_funnel_clicks",
+        "n_funnel_purchases",
+    )

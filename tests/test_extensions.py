@@ -262,3 +262,46 @@ def test_ann_ivf_spark_ml_kmeans_recall(spark, sf_dir):
             hits += 1
         total += 1
     assert hits / total >= 0.3, f"recall@5 too low: {hits}/{total}"
+
+
+def test_funnel_ordered_semantics(spark):
+    """Known micro-timeline: click before any view doesn't qualify;
+    click within 30 min of a view does; purchase qualifies only after
+    a QUALIFYING click within 30 min."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, typ, mins, user=1):
+        return (i, user, typ, t0 + dt.timedelta(minutes=mins), 1.0, "{}")
+
+    rows = [
+        ev(1, "click", 0),      # no preceding view -> not qualified
+        ev(2, "view", 5),
+        ev(3, "click", 20),     # view 15 min before -> qualified
+        ev(4, "purchase", 45),  # qual click 25 min before -> qualified
+        ev(5, "purchase", 55),  # last qual click 35 min before -> NOT
+        ev(6, "view", 100),
+        ev(7, "click", 140),    # view 40 min before -> not qualified
+        ev(8, "purchase", 145), # last qual click at t+20 -> not
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double, props string"
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # write µs timestamps (Spark's default INT96 reads back as
+        # timestamp[ns] in pyarrow and would trip the legacy-nanos path)
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            df.write.parquet(os.path.join(d, "events.parquet"))
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        for t in ("region","nation","customer","supplier","part","orders","lineitem","documents","embeddings"):
+            os.makedirs(os.path.join(d, f"{t}.parquet"), exist_ok=True)
+        out = QS["win_funnel_conversion"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_views, r.n_funnel_clicks, r.n_funnel_purchases) == (2, 1, 1), r

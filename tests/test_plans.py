@@ -168,3 +168,11 @@ def test_pq_adc_no_shuffle_before_rank(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # broadcast cross, not shuffle
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # rank only
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The window-funnel's whole point: both conditional-MAX passes and
+    the final rollup reuse ONE user_id exchange (vs the quadratic
+    events×events interval join)."""
+    plan = _plan(spark, sf_dir, "win_funnel_conversion")
+    assert plan.count("Exchange") == 1
