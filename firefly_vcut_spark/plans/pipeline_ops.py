@@ -904,3 +904,73 @@ def corpus_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("frac").cast("double").alias("frac"),
         )
     )
+
+
+_QUALITY_SQL = f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id, source,
+               len(toks) AS n,
+               CAST(len(list_filter(toks,
+                    x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                    AS DOUBLE) / greatest(len(toks), 1) AS sw,
+               CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                    AS DOUBLE) / greatest(len(toks), 1) AS mt
+        FROM t
+    ),
+    s AS (
+      SELECT doc_id, source,
+             round(least(n / 50.0, 1.0) * 40
+                   + CASE WHEN sw >= 0.03 AND sw <= 0.40 THEN 30.0 ELSE 10.0 END
+                   + CASE WHEN mt >= 3.0 AND mt <= 8.0 THEN 30.0 ELSE 10.0 END,
+                   4) AS q
+      FROM m
+    )"""
+
+
+@query(
+    "corpus_quality_percentile_filter",
+    sql=f"""{_QUALITY_SQL},
+    cut AS (SELECT source, round(quantile_cont(q, 0.10), 4) AS p10
+            FROM s GROUP BY 1)
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS src_docs,
+           CAST(count(CASE WHEN s.q >= c.p10 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(max(c.p10) AS DOUBLE) AS p10_cutoff
+    FROM s JOIN cut c USING (source)
+    GROUP BY 1
+    """,
+    tags=("corpus", "extension", "percentile"),
+)
+def corpus_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-relative quality filtering: per-SOURCE 10th-
+    percentile quality cutoff, keep docs at or above their source's
+    cutoff — the adaptive-threshold recipe (a fixed global threshold
+    over- or under-filters heterogeneous sources). Spark percentile()
+    and DuckDB quantile_cont share the interpolated definition; at
+    100 TB swap in approx_percentile (mergeable sketch, no per-group
+    sort) and the cutoff table still BROADCASTS (O(sources))."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", tx.quality_score(F.col("text")).alias("q")
+    )
+    cut = scored.groupBy("source").agg(
+        F.round(F.expr("percentile(q, 0.10)"), 4).alias("p10")
+    )
+    return (
+        scored.join(F.broadcast(cut), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("src_docs"),
+            F.count(F.when(F.col("q") >= F.col("p10"), 1))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.max("p10").cast("double").alias("p10_cutoff"),
+        )
+        .select(
+            F.col("source").cast("string").alias("source"),
+            "src_docs",
+            "n_kept",
+            "p10_cutoff",
+        )
+    )

@@ -324,3 +324,15 @@ def test_boilerplate_detector_fires_per_source(spark, sf_dir):
         planted = f"follow {src} for updates"
         assert planted in grams, (src, sorted(grams))
         assert 0.25 <= grams[planted].frac <= 0.45
+
+
+def test_quality_percentile_filter_keeps_about_ninety_pct(spark, sf_dir):
+    """Per-source p10 cutoff keeps >=90% of each source's docs (>= is
+    inclusive so ties at the cutoff keep MORE, never fewer)."""
+    from firefly_vcut_spark.plans import all_queries
+
+    rows = all_queries()["corpus_quality_percentile_filter"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept >= 0.9 * r.src_docs - 1, r
+        assert r.n_kept <= r.src_docs
