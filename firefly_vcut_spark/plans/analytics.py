@@ -510,3 +510,63 @@ def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_funnel_clicks",
         "n_funnel_purchases",
     )
+
+
+@query(
+    "agg_profile_documents",
+    sql="""
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_val,
+           CAST(max(doc_id) AS VARCHAR) AS max_val
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+           min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source),
+           count(DISTINCT source), min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars),
+           count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+           CAST(max(n_chars) AS VARCHAR) FROM documents
+    """,
+    tags=("agg", "analytics", "profile"),
+)
+def agg_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the `df.summary()`-class utility an
+    engine owes its users, made deterministic and oracle-checkable):
+    one row per column with null count, exact distinct count, and
+    min/max rendered as strings. ONE pass over the scan computes every
+    aggregate (multi-distinct plans via Spark's expand), then an
+    unpivot reshapes driver-side-free. At 100 TB the exact distincts
+    swap for approx_count_distinct (HLL, mergeable) with no shape
+    change; min/max/nulls come from parquet footers for free."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    ).select(
+        F.col("col_name").cast("string").alias("col_name"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("min_val").cast("string").alias("min_val"),
+        F.col("max_val").cast("string").alias("max_val"),
+    )
