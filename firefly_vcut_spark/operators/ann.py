@@ -254,6 +254,80 @@ def ivf_lloyd_topk(
     return _ranked_topk(scored, k)
 
 
+def _d2(v: Column, c: Column) -> Column:
+    """Round-6 squared distance — the quantized arithmetic both the
+    driver Lloyd fit (numpy) and the DuckDB oracle replay exactly."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _best_codeword(book: list[list[float]], sub: Column) -> Column:
+    """Nearest sub-centroid (ties toward the lowest code) for one
+    subspace slice; returns the chosen CODEWORD array. code is unique
+    per entry, so the trailing centroid array never participates in
+    the lexicographic min."""
+    book_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("code"),
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+            )
+            for j, c in enumerate(book)
+        ]
+    )
+    return F.array_min(
+        F.transform(
+            book_arr,
+            lambda ct: F.struct(
+                _d2(sub, ct["c"]).alias("d"),
+                ct["code"].alias("code"),
+                ct["c"].alias("c"),
+            ),
+        )
+    )["c"]
+
+
+def _recon_parts(books: list[list[list[float]]], d_sub: int) -> list[Column]:
+    """Per-subspace codeword choices over F.col('v') — concat these
+    for the per-row PQ reconstruction."""
+    return [
+        _best_codeword(book, F.slice(F.col("v"), s * d_sub + 1, d_sub))
+        for s, book in enumerate(books)
+    ]
+
+
+def _nearest_cell(centers_arr: Column) -> Column:
+    """Nearest coarse centroid (round-6 distance, ties toward the
+    lowest cell) over F.col('v') — pure Column, no join."""
+    return F.array_min(
+        F.transform(
+            centers_arr,
+            lambda ct: F.struct(
+                _d2(F.col("v"), ct["c"]).alias("d"),
+                ct["cell"].alias("cell"),
+            ),
+        )
+    )["cell"]
+
+
+def _centers_arr(centers: list[list[float]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cell"),
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+            )
+            for j, c in enumerate(centers)
+        ]
+    )
+
+
 def pq_codebooks(
     vecs: list[list[float]], m: int, ks: int, iters: int
 ) -> list[list[list[float]]]:
@@ -319,46 +393,7 @@ def pq_adc_topk(
     )
     books = pq_codebooks([r.v for r in fit_rows], m, ks, iters)
     dim = len(fit_rows[0].v)
-    d_sub = dim // m
-
-    def d2(v: Column, c: Column) -> Column:
-        return F.round(
-            F.aggregate(
-                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
-    # per-subspace codeword choice, then one reconstruction per row
-    def best_codeword(book: list[list[float]], sub: Column) -> Column:
-        book_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("code"),
-                    F.array(*[F.lit(x) for x in c]).alias("c"),
-                )
-                for j, c in enumerate(book)
-            ]
-        )
-        # code is unique per entry, so the trailing centroid array
-        # never participates in the lexicographic min
-        return F.array_min(
-            F.transform(
-                book_arr,
-                lambda ct: F.struct(
-                    d2(sub, ct["c"]).alias("d"),
-                    ct["code"].alias("code"),
-                    ct["c"].alias("c"),
-                ),
-            )
-        )["c"]
-
-    recon_parts = [
-        best_codeword(book, F.slice(F.col("v"), s * d_sub + 1, d_sub))
-        for s, book in enumerate(books)
-    ]
+    recon_parts = _recon_parts(books, dim // m)
     encoded = (
         emb.repartition(spark.sparkContext.defaultParallelism)
         .withColumn("recon", F.concat(*recon_parts))
@@ -376,6 +411,94 @@ def pq_adc_topk(
         .select(
             "query_id",
             "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("recon")) / (F.col("qn") * F.col("rn_")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    cell_iters: int = 3,
+    m: int = 4,
+    ks: int = 8,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fit_sample_rows: int = 20_000,
+) -> DataFrame:
+    """IVF-PQ: the canonical production ANN layout (FAISS IVFPQ /
+    Jégou et al.) — a coarse quantizer restricts each query to its
+    ``nprobe`` cells AND the in-cell sweep reads PQ codes instead of
+    vectors. ONE hash-ordered fit sample trains both quantizers
+    (driver-side deterministic Lloyd); the corpus projection computes
+    cell + reconstruction in a single codegen pass. At 100 TB: cell is
+    the partition column (probe reads nprobe/n_cells of the data) and
+    the scan inside each cell touches m bytes/row — the two savings
+    multiply. Fully hash-checked: the oracle replays both fits."""
+    spark = corpus.sparkSession
+    emb = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    h = (F.col("vec_id") * F.lit(IVF_FIT_HASH_A)) % F.lit(IVF_FIT_HASH_MOD)
+    fit_rows = (
+        emb.withColumn("h", h)
+        .orderBy("h", "vec_id")
+        .limit(fit_sample_rows)
+        .select("v")
+        .collect()
+    )
+    fit = [r.v for r in fit_rows]
+    centers = lloyd_centers(fit, n_cells, cell_iters)
+    books = pq_codebooks(fit, m, ks, pq_iters)
+    centers_arr = _centers_arr(centers)
+    dim = len(fit[0])
+
+    assigned = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("cell", _nearest_cell(centers_arr))
+        .withColumn("recon", F.concat(*_recon_parts(books, dim // m)))
+        .select("vec_id", "cell", "recon")
+        .withColumn("rn_", norm(F.col("recon")))
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    probes = (
+        q.withColumn(
+            "pc",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        centers_arr,
+                        lambda ct: F.struct(
+                            (-F.round(cosine(F.col("qv"), ct["c"]), 4)).alias("negc"),
+                            ct["cell"].alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        .select("query_id", "qv", "qn", F.explode("pc").alias("p"))
+        .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
             F.round(
                 dot(F.col("qv"), F.col("recon")) / (F.col("qn") * F.col("rn_")), 4
             ).alias("cos_sim"),

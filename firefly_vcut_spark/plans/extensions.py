@@ -812,6 +812,168 @@ def _pq_adc_sql(
     """
 
 
+def _ivfpq_sql(
+    n_cells: int = 16,
+    nprobe: int = 2,
+    cell_iters: int = 3,
+    m: int = 4,
+    ks: int = 8,
+    pq_iters: int = 2,
+    k: int = 5,
+    dim: int = 64,
+    fit_limit: int = 20_000,
+) -> str:
+    """DuckDB twin of ivfpq_topk: ONE fit CTE feeds BOTH replayed
+    quantizers (coarse Lloyd cells + per-subspace PQ codebooks), then
+    cell assignment, codeword encoding/reconstruction, the nprobe
+    probe, and the ADC cosine rank."""
+    from firefly_vcut_spark.operators.ann import IVF_FIT_HASH_A, IVF_FIT_HASH_MOD
+
+    d_sub = dim // m
+    dist = (
+        "round(list_aggregate(list_transform(range(1, len({v}) + 1), "
+        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum'), 6)"
+    )
+    hord = f"(vec_id * {IVF_FIT_HASH_A}) % {IVF_FIT_HASH_MOD}"
+
+    # coarse quantizer: unrolled Lloyd on the shared fit sample
+    blocks = [f"""
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY {hord}, vec_id) AS INTEGER) - 1 AS cell,
+             v AS c
+      FROM fit ORDER BY {hord}, vec_id LIMIT {n_cells}
+    )"""]
+    prev = "c0"
+    for t in range(1, cell_iters + 1):
+        d = dist.format(v="f.v", c="ct.c")
+        blocks.append(f"""
+    a{t} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT f.vec_id, f.v, ct.cell,
+               row_number() OVER (PARTITION BY f.vec_id
+                   ORDER BY {d} ASC, ct.cell ASC) AS rn
+        FROM fit f CROSS JOIN {prev} ct) t WHERE rn = 1
+    ),
+    m{t} AS (
+      SELECT cell, idx, round(avg(v[idx]), 6) AS mu FROM (
+        SELECT cell, v, unnest(range(1, len(v) + 1)) AS idx FROM a{t}) t
+      GROUP BY cell, idx
+    ),
+    u{t} AS (SELECT cell, list(mu ORDER BY idx) AS c FROM m{t} GROUP BY cell),
+    c{t} AS (
+      SELECT p.cell, coalesce(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN u{t} u USING (cell)
+    )""")
+        prev = f"c{t}"
+    coarse_final = prev
+
+    # PQ codebooks per subspace, then per-row encoding
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        blocks.append(f"""
+    fs{s} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM fit),
+    s{s}c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY {hord}, vec_id) AS INTEGER) - 1 AS cell,
+             v AS c
+      FROM fs{s} ORDER BY {hord}, vec_id LIMIT {ks}
+    )""")
+        sprev = f"s{s}c0"
+        for t in range(1, pq_iters + 1):
+            d = dist.format(v="f.v", c="ct.c")
+            blocks.append(f"""
+    s{s}a{t} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT f.vec_id, f.v, ct.cell,
+               row_number() OVER (PARTITION BY f.vec_id
+                   ORDER BY {d} ASC, ct.cell ASC) AS rn
+        FROM fs{s} f CROSS JOIN {sprev} ct) t WHERE rn = 1
+    ),
+    s{s}m{t} AS (
+      SELECT cell, idx, round(avg(v[idx]), 6) AS mu FROM (
+        SELECT cell, v, unnest(range(1, len(v) + 1)) AS idx FROM s{s}a{t}) t
+      GROUP BY cell, idx
+    ),
+    s{s}u{t} AS (SELECT cell, list(mu ORDER BY idx) AS c FROM s{s}m{t} GROUP BY cell),
+    s{s}c{t} AS (
+      SELECT p.cell, coalesce(u.c, p.c) AS c
+      FROM {sprev} p LEFT JOIN s{s}u{t} u USING (cell)
+    )""")
+            sprev = f"s{s}c{t}"
+        enc_d = dist.format(v="e.sv", c="ct.c")
+        blocks.append(f"""
+    es{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM emb),
+    enc{s} AS (
+      SELECT vec_id, c FROM (
+        SELECT e.vec_id, ct.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {enc_d} ASC, ct.cell ASC) AS rn
+        FROM es{s} e CROSS JOIN {sprev} ct) t WHERE rn = 1
+    )""")
+    all_blocks = ",".join(blocks)
+    assign_d = dist.format(v="e.v", c="ct.c")
+    concat = " || ".join(f"e{s}.c" for s in range(m))
+    joins = " ".join(f"JOIN enc{s} e{s} ON e{s}.vec_id = e0.vec_id" for s in range(1, m))
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    fit AS (SELECT vec_id, v FROM emb ORDER BY {hord}, vec_id LIMIT {fit_limit}),{all_blocks},
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, ct.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {assign_d} ASC, ct.cell ASC) AS rn
+        FROM emb e CROSS JOIN {coarse_final} ct) t WHERE rn = 1
+    ),
+    recon AS (
+      SELECT e0.vec_id, {concat} AS recon
+      FROM enc0 e0 {joins}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, ct.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.qv, ct.c), 4) DESC,
+                            ct.cell ASC) AS rn
+        FROM q CROSS JOIN {coarse_final} ct) t WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(p.qv, r.recon), 4) AS cos_sim
+      FROM assign a
+      JOIN recon r ON r.vec_id = a.vec_id
+      JOIN probe p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_ivfpq_topk",
+    sql=_ivfpq_sql(),
+    tags=("ann", "extension", "vector"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (FAISS-style): coarse Lloyd cells restrict
+    each query to 2 of 16 cells AND the in-cell sweep scores PQ
+    reconstructions (4×8 codebooks) — partition pruning × 64× scan
+    compression, both quantizers trained on ONE shared sample and both
+    replayed in the oracle."""
+    from firefly_vcut_spark.operators.ann import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
 def _pq_rerank_sql(k: int = 5, k_prime: int = 20, **kw) -> str:
     """Wrap the PQ-ADC twin: shortlist at rank ≤ k', re-score the
     shortlist with the TRUE vectors, re-rank to k."""

@@ -305,3 +305,22 @@ def test_funnel_ordered_semantics(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_views, r.n_funnel_clicks, r.n_funnel_purchases) == (2, 1, 1), r
+
+
+def test_ivfpq_scores_agree_with_pq_adc(spark, sf_dir):
+    """IVF-PQ shares the PQ codebooks with the pure-ADC query, so any
+    (query, neighbor) pair appearing in both results must carry the
+    IDENTICAL reconstructed cosine; 5 ranked rows per query."""
+    adc = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in QS["ann_pq_adc_topk"].fn(spark, sf_dir).collect()
+    }
+    rows = QS["ann_ivfpq_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+        if (r.query_id, r.neighbor_id) in adc:
+            assert adc[(r.query_id, r.neighbor_id)] == r.cos_sim, r
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], (q, ranks)
