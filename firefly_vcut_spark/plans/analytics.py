@@ -570,3 +570,53 @@ def agg_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_val").cast("string").alias("min_val"),
         F.col("max_val").cast("string").alias("max_val"),
     )
+
+
+def _skew_audit_sql() -> str:
+    parts = []
+    for col in ("l_orderkey", "l_suppkey", "l_partkey"):
+        parts.append(f"""
+    SELECT '{col}' AS key_name,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(quantile_cont(cnt, 0.50), 4) AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           round(max(cnt) / quantile_cont(cnt, 0.50), 4) AS skew_ratio
+    FROM (SELECT {col}, count(*) AS cnt FROM lineitem GROUP BY 1)""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+@query(
+    "agg_skew_audit",
+    sql=_skew_audit_sql(),
+    tags=("agg", "analytics", "scale"),
+)
+def agg_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit — the diagnostic that picks between a
+    plain shuffle, AQE skew splitting, and explicit salting
+    (operators/skew.py): per candidate join/agg key, the key-frequency
+    distribution (max, p50, p99, max/p50 ratio). Each key costs one
+    map-side-combined count shuffle + a one-row rollup; at 100 TB run
+    it over a hash-sample of keys (the distribution survives
+    sampling), or read row-group counts from parquet footers when the
+    key is the layout column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for col in ("l_orderkey", "l_suppkey", "l_partkey"):
+        cnt = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        outs.append(
+            cnt.agg(
+                F.lit(col).alias("key_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("cnt").cast("bigint").alias("max_cnt"),
+                F.round(F.expr("percentile(cnt, 0.50)"), 4).alias("p50_cnt"),
+                F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+                F.round(
+                    F.max("cnt") / F.expr("percentile(cnt, 0.50)"), 4
+                ).alias("skew_ratio"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
