@@ -280,6 +280,83 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_view_us", T.LongType()),
+        T.StructField("last_qc_us", T.LongType()),
+        T.StructField("n_views", T.LongType()),
+        T.StructField("n_clicks", T.LongType()),
+        T.StructField("n_purch", T.LongType()),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_views", T.LongType()),
+        T.StructField("n_funnel_clicks", T.LongType()),
+        T.StructField("n_funnel_purchases", T.LongType()),
+    ]
+)
+
+_FUNNEL_WINDOW_US = 30 * 60 * 1_000_000
+
+
+def funnel_user_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch window funnel
+    (plans/analytics.win_funnel_conversion): per-user funnel counters
+    maintained in applyInPandasWithState state — the always-on shape
+    where the batch query's running conditional-MAX frames become two
+    timestamps in O(users) state. Rows are processed in (ts, event_id)
+    order; the state update happens AFTER evaluating the current row,
+    which is exactly the batch query's strictly-preceding ROWS frame.
+    stream==batch asserted in tests/test_streaming.py."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        lv, lqc, nv, nc, np_ = (
+            state.get if state.exists else (None, None, 0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for _, r in rows.iterrows():
+            ts_us = int(pd.Timestamp(r["ts"]).value // 1000)
+            typ = r["event_type"]
+            if typ == "view":
+                nv += 1
+                lv = ts_us
+            elif typ == "click":
+                if lv is not None and lv >= ts_us - _FUNNEL_WINDOW_US:
+                    nc += 1
+                    lqc = ts_us
+            elif typ == "purchase":
+                if lqc is not None and lqc >= ts_us - _FUNNEL_WINDOW_US:
+                    np_ += 1
+        state.update((lv, lqc, nv, nc, np_))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_views": [nv],
+                "n_funnel_clicks": [nc],
+                "n_funnel_purchases": [np_],
+            }
+        )
+
+    filtered = events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_id", "event_type", "ts")
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_dedup_sink(
     stream_df: DataFrame,
     store_root: str,

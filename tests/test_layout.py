@@ -110,3 +110,24 @@ def test_zorder_write_prune_read_roundtrip(spark, sf_dir, tmp_path):
     plan = pruned_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "file_id" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
+def test_zvalue_sql_exhaustive_low_bits():
+    """Exhaustive 4-bit interleave check (256 pairs) plus the 8-bit
+    corners, against the Python reference — both engines share this
+    SQL shape so one engine-side sweep pins the arithmetic."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT a, b, {zvalue_sql('a', 'b', 4)} AS z "
+        "FROM range(16) r1(a), range(16) r2(b)"
+    ).fetchall()
+    assert len(rows) == 256
+    for a, b, z in rows:
+        assert z == _morton(a, b, 4), (a, b)
+    corners = duckdb.sql(
+        f"SELECT a, b, {zvalue_sql('a', 'b', 8)} AS z FROM "
+        "(SELECT unnest([0, 255, 1, 128]) a, unnest([255, 0, 128, 1]) b)"
+    ).fetchall()
+    for a, b, z in corners:
+        assert z == _morton(a, b, 8), (a, b)

@@ -359,3 +359,24 @@ def test_dedup_sink_in_batch_chain_drops_transitively(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
     p = write_dedup_sink(stream, str(tmp_path / "cstore"), str(tmp_path / "cck"))
     assert {r.doc_id for r in spark.read.parquet(p).collect()} == {1, 4}
+
+
+def test_stateful_funnel_equals_batch_window_funnel(spark, sf_dir, tmp_path):
+    """The O(users)-state streaming funnel must reproduce the batch
+    window-funnel exactly (same strictly-preceding semantics)."""
+    from firefly_vcut_spark.plans import all_queries
+    from firefly_vcut_spark.streaming.incremental import funnel_user_state
+
+    stream = funnel_user_state(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, str(tmp_path / "ckpt_funnel"), output_mode="update")
+    final = {}
+    for r in got:  # update mode: last emission per user wins
+        final[r.user_id] = (r.n_views, r.n_funnel_clicks, r.n_funnel_purchases)
+    batch = all_queries()["win_funnel_conversion"].fn(spark, sf_dir).collect()
+    assert len(batch) == len(final)
+    for r in batch:
+        assert final[r.user_id] == (
+            r.n_views,
+            r.n_funnel_clicks,
+            r.n_funnel_purchases,
+        ), r
