@@ -336,6 +336,123 @@ def decode_features_real(blobs: DataFrame) -> DataFrame:
     return blobs.select("doc_id", "blob").mapInPandas(kernel, REAL_DECODED_SCHEMA)
 
 
+WAV_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("pcm_checksum", T.StringType()),
+    ]
+)
+
+
+def synthetic_pcm(doc_id: int, n: int) -> list[int]:
+    """Deterministic int16 sample pattern — a pure function of
+    (doc_id, i) the oracle recomputes in SQL."""
+    return [((doc_id * 31 + i * 7) % 2048) - 1024 for i in range(n)]
+
+
+def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """Canonical RIFF/WAVE PCM16 encoder (44-byte header + LE data) —
+    the uncompressed audio container, stdlib-only."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, channels, sample_rate,
+            sample_rate * channels * 2, channels * 2, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    ) + data
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, bytes]:
+    """REAL RIFF/WAVE parser: validates the container magic, walks the
+    chunk list (tolerating extra chunks), and returns (channels,
+    sample_rate, pcm_data) for PCM16. Raises on anything else — the
+    compressed-codec guard, like the image decoder's."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, channels, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_tag != 1:
+                raise NotImplementedError(
+                    f"compressed WAV (format {fmt_tag}) needs a codec"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if channels is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported (PCM16 only)")
+    return channels, rate, data
+
+
+def encode_synthetic_wav(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, blob): a real PCM16 WAV per doc, length and
+    rate derived from doc_id, samples from synthetic_pcm."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 64 + i % 129
+                rate = 8000 + (i % 3) * 4000
+                blobs.append(encode_wav(rate, synthetic_pcm(i, n)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
+
+
+def decode_wav_features(blobs: DataFrame) -> DataFrame:
+    """mapInPandas kernel over REAL WAV containers: parse the RIFF
+    chunks, decode int16 PCM, reduce to integer-exact features
+    (duration, energy, mean-abs) + an md5 over the PCM hex — every
+    output integer/string, so the oracle replay is bit-exact."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in WAV_DECODED_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                _ch, rate, data = decode_wav(bytes(blob))
+                n = len(data) // 2
+                smp = struct.unpack(f"<{n}h", data)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["sum_sq"].append(sum(s * s for s in smp))
+                out["sum_abs"].append(sum(abs(s) for s in smp))
+                out["pcm_checksum"].append(
+                    hashlib.md5(data.hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return blobs.select("doc_id", "blob").mapInPandas(kernel, WAV_DECODED_SCHEMA)
+
+
 def sample_frames(multimodal: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing: split each blob into n byte-range
     'frames' (the video-keyframe access pattern), one output row per

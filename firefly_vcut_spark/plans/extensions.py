@@ -1550,3 +1550,53 @@ def text_char_lm_filter_impl(docs: DataFrame) -> DataFrame:
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         F.col("avg_logp").cast("double").alias("avg_logp"),
     )
+
+
+@query(
+    "mm_audio_wav_features",
+    sql="""
+    WITH params AS (
+      SELECT doc_id,
+             64 + doc_id % 129 AS n,
+             8000 + (doc_id % 3) * 4000 AS rate
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, rate,
+             list_transform(range(0, n),
+                 i -> ((doc_id * 31 + i * 7) % 2048) - 1024) AS smp
+      FROM params
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(list_aggregate(list_transform(smp, x -> x * x), 'sum')
+                AS BIGINT) AS sum_sq,
+           CAST(list_aggregate(list_transform(smp, x -> abs(x)), 'sum')
+                AS BIGINT) AS sum_abs,
+           md5(list_aggregate(list_transform(smp,
+               x -> printf('%02x%02x',
+                           (CASE WHEN x < 0 THEN x + 65536 ELSE x END) % 256,
+                           (CASE WHEN x < 0 THEN x + 65536 ELSE x END) // 256)),
+               'string_agg', '')) AS pcm_checksum
+    FROM s
+    """,
+    tags=("multimodal", "extension", "udf"),
+)
+def mm_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container round-trip: every doc gets a PCM16 WAV
+    (RIFF header + synthetic int16 pattern), the decode kernel parses
+    the chunk list and the samples, and the features are integer-exact
+    (duration, energy, mean-abs, PCM-hex md5). The oracle re-derives
+    everything — including the little-endian byte checksum — from the
+    generation parameters in SQL, so the container parse is
+    hash-checked end to end. Blobs never shuffle: encode and decode
+    fuse into one mapInPandas pipeline over the scan."""
+    from firefly_vcut_spark.operators.multimodal import (
+        decode_wav_features,
+        encode_synthetic_wav,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_wav_features(encode_synthetic_wav(d))

@@ -151,3 +151,52 @@ def test_decode_features_real_kernel(spark):
         assert (r.width, r.height, r.channels) == (w, h, ch)
         assert r.pixel_checksum == hashlib.md5(px).hexdigest()
         assert r.mean_pixel == round(sum(px) / len(px), 6)
+
+
+# --- real WAV container (r4) ---
+
+
+def test_wav_roundtrip_known_samples():
+    import hashlib
+    import struct
+
+    from firefly_vcut_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = [0, 1, -1, 32767, -32768, 1024]
+    blob = encode_wav(16000, samples)
+    ch, rate, data = decode_wav(blob)
+    assert (ch, rate) == (1, 16000)
+    assert list(struct.unpack(f"<{len(samples)}h", data)) == samples
+    assert hashlib.md5(data.hex().encode()).hexdigest() == hashlib.md5(
+        b"".join(struct.pack("<h", s) for s in samples).hex().encode()
+    ).hexdigest()
+
+
+def test_wav_decoder_tolerates_extra_chunks():
+    import struct
+
+    from firefly_vcut_spark.operators.multimodal import decode_wav, encode_wav
+
+    blob = encode_wav(8000, [5, -5])
+    # splice a LIST chunk (odd size => padded) between fmt and data
+    head, tail = blob[:36], blob[36:]
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = head + extra + tail
+    ch, rate, data = decode_wav(spliced)
+    assert (ch, rate) == (1, 8000)
+    assert struct.unpack("<2h", data) == (5, -5)
+
+
+def test_wav_decoder_guards():
+    import struct
+
+    import pytest as _pytest
+
+    from firefly_vcut_spark.operators.multimodal import decode_wav, encode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"nonsense")
+    blob = bytearray(encode_wav(8000, [1, 2]))
+    struct.pack_into("<H", blob, 20, 85)  # format tag 85 = MP3
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(blob))
