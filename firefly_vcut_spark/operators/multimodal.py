@@ -453,6 +453,106 @@ def decode_wav_features(blobs: DataFrame) -> DataFrame:
     return blobs.select("doc_id", "blob").mapInPandas(kernel, WAV_DECODED_SCHEMA)
 
 
+RVID_MAGIC = b"RVID"
+
+RVID_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("fps", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_px", T.LongType()),
+        T.StructField("px_checksum", T.StringType()),
+    ]
+)
+
+
+def synthetic_frame(doc_id: int, f: int, w: int, h: int, ch: int = 3) -> bytes:
+    """Per-frame deterministic pixels: synthetic_pixels' pattern plus a
+    13·frame phase — pure function of (doc_id, f, x, y, c)."""
+    return bytes(
+        (x * 7 + y * 31 + c * 101 + doc_id + f * 13) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+def encode_rvid(w: int, h: int, fps: int, frames: list[bytes]) -> bytes:
+    """Raw-video container: RVID magic + (w, h, fps, n_frames) header +
+    concatenated raw RGB frames — the uncompressed stand-in container
+    (an MP4/H.264 parse needs a codec; the guard raises on it)."""
+    import struct
+
+    body = b"".join(frames)
+    return RVID_MAGIC + struct.pack("<HHHH", w, h, fps, len(frames)) + body
+
+
+def decode_rvid(blob: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL container parse: validate magic, read the header, check
+    the payload length, split exact frames."""
+    import struct
+
+    if blob[:4] != RVID_MAGIC:
+        raise NotImplementedError(
+            "not an RVID container — compressed video needs a codec"
+        )
+    w, h, fps, n = struct.unpack("<HHHH", blob[4:12])
+    fsize = w * h * 3
+    body = blob[12:]
+    if len(body) != fsize * n:
+        raise ValueError(f"payload {len(body)} != {n} frames × {fsize}")
+    return w, h, fps, [body[i * fsize : (i + 1) * fsize] for i in range(n)]
+
+
+def encode_synthetic_rvid(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, blob): a real RVID container per doc, dims /
+    fps / frame count derived from doc_id."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h, fps, n = 6 + i % 5, 4 + i % 3, 10 + i % 5, 3 + i % 4
+                frames = [synthetic_frame(i, f, w, h) for f in range(n)]
+                blobs.append(encode_rvid(w, h, fps, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(kernel, "doc_id long, blob binary")
+
+
+def decode_rvid_features(blobs: DataFrame) -> DataFrame:
+    """mapInPandas kernel over RVID containers → one row per frame:
+    dims, fps, container duration, per-frame integer pixel sum and an
+    md5 over the frame's hex — all integer/string outputs so the
+    oracle replay is bit-exact. At 100 TB frames explode map-side and
+    only (id, idx, features) rows ever shuffle — blobs stay put."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in RVID_DECODED_SCHEMA.fields}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, fps, frames = decode_rvid(bytes(blob))
+                dur = len(frames) * 1000 // fps
+                for f_idx, frame in enumerate(frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f_idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["fps"].append(fps)
+                    out["duration_ms"].append(dur)
+                    out["sum_px"].append(sum(frame))
+                    out["px_checksum"].append(
+                        hashlib.md5(frame.hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return blobs.select("doc_id", "blob").mapInPandas(kernel, RVID_DECODED_SCHEMA)
+
+
 def sample_frames(multimodal: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing: split each blob into n byte-range
     'frames' (the video-keyframe access pattern), one output row per

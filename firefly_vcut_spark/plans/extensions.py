@@ -1600,3 +1600,57 @@ def mm_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return decode_wav_features(encode_synthetic_wav(d))
+
+
+@query(
+    "mm_video_rvid_frames",
+    sql="""
+    WITH params AS (
+      SELECT doc_id,
+             6 + doc_id % 5 AS w,
+             4 + doc_id % 3 AS h,
+             10 + doc_id % 5 AS fps,
+             3 + doc_id % 4 AS nf
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, w, h, fps, nf, unnest(range(0, nf)) AS f
+      FROM params
+    ),
+    px AS (
+      SELECT doc_id, w, h, fps, nf, f,
+             list_transform(range(0, w * h * 3),
+                 p -> ((p % (w * 3)) // 3 * 7
+                       + (p // (w * 3)) * 31
+                       + (p % 3) * 101
+                       + doc_id + f * 13) % 256) AS vals
+      FROM frames
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(fps AS BIGINT) AS fps,
+           CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+           CAST(list_aggregate(vals, 'sum') AS BIGINT) AS sum_px,
+           md5(list_aggregate(list_transform(vals, v -> printf('%02x', v)),
+               'string_agg', '')) AS px_checksum
+    FROM px
+    """,
+    tags=("multimodal", "extension", "udf"),
+)
+def mm_video_rvid_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container round-trip: every doc gets an RVID raw
+    container (magic + dims/fps/count header + raw RGB frames), the
+    decode kernel validates and splits exact frames, and each frame
+    reduces to integer-exact features (pixel sum, hex md5) plus the
+    container duration. The oracle re-derives every pixel from the
+    generation parameters in SQL — container parse and frame split are
+    hash-checked end to end."""
+    from firefly_vcut_spark.operators.multimodal import (
+        decode_rvid_features,
+        encode_synthetic_rvid,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_rvid_features(encode_synthetic_rvid(d))

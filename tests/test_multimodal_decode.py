@@ -200,3 +200,26 @@ def test_wav_decoder_guards():
     struct.pack_into("<H", blob, 20, 85)  # format tag 85 = MP3
     with _pytest.raises(NotImplementedError):
         decode_wav(bytes(blob))
+
+
+# --- real raw-video container (r4) ---
+
+
+def test_rvid_roundtrip_and_guards():
+    import pytest as _pytest
+
+    from firefly_vcut_spark.operators.multimodal import (
+        decode_rvid,
+        encode_rvid,
+        synthetic_frame,
+    )
+
+    frames = [synthetic_frame(7, f, 4, 2) for f in range(3)]
+    blob = encode_rvid(4, 2, 12, frames)
+    w, h, fps, got = decode_rvid(blob)
+    assert (w, h, fps) == (4, 2, 12)
+    assert got == frames
+    with _pytest.raises(NotImplementedError):
+        decode_rvid(b"\x00\x00\x00\x20ftypisom...")  # MP4-ish magic
+    with _pytest.raises(ValueError):
+        decode_rvid(blob[:-1])  # torn payload
