@@ -620,3 +620,48 @@ def agg_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query(
+    "win_sessionize_ids",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(sum(is_start) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_idx
+    FROM e
+    """,
+    tags=("window", "analytics", "temporal"),
+)
+def win_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event sessionization (gaps-and-islands): a session break is
+    a >30-min gap since the user's previous event; the running sum of
+    break flags IS the session index. The per-event twin of the
+    w_session_windows aggregate — lag + cumulative sum over the SAME
+    (user_id, ts) ordering, so both windows share one shuffle.
+    Tie-stable via the event_id tiebreak."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    e = ev.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    return e.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.sum("is_start")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_idx"),
+    )

@@ -324,3 +324,22 @@ def test_ivfpq_scores_agree_with_pq_adc(spark, sf_dir):
             assert adc[(r.query_id, r.neighbor_id)] == r.cos_sim, r
     for q, ranks in by_q.items():
         assert sorted(ranks) == [1, 2, 3, 4, 5], (q, ranks)
+
+
+def test_sessionize_islands_invariants(spark, sf_dir):
+    """session_idx starts at 1 per user, never decreases in event-time
+    order, and increments exactly at >30-min gaps."""
+    ev = {
+        r.event_id: r.ts
+        for r in load_table(spark, sf_dir, "events").select("event_id", "ts").collect()
+    }
+    rows = QS["win_sessionize_ids"].fn(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((ev[r.event_id], r.event_id, r.session_idx))
+    for user, seq in by_user.items():
+        seq.sort()
+        assert seq[0][2] == 1, (user, seq[0])
+        for (t0, _e0, s0), (t1, _e1, s1) in zip(seq, seq[1:]):
+            gap = (t1 - t0).total_seconds()
+            assert s1 == s0 + (1 if gap > 1800 else 0), (user, t0, t1, s0, s1)
