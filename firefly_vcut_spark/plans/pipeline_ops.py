@@ -974,3 +974,124 @@ def corpus_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFr
             "p10_cutoff",
         )
     )
+
+
+@query(
+    "corpus_prepare_manifest",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks, md5({_NORM}) AS digest FROM documents
+    ),
+    corpus0 AS (SELECT * FROM base WHERE doc_id % 41 <> 0),
+    m AS (
+      SELECT doc_id, toks, digest,
+             len(toks) AS n,
+             CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  AS DOUBLE) / greatest(len(toks), 1) AS mt,
+             CAST(len(list_filter(toks,
+                  x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                  AS DOUBLE) / greatest(len(toks), 1) AS sw
+      FROM corpus0
+    ),
+    corpus1 AS (
+      SELECT doc_id, toks, digest FROM m
+      WHERE n >= 30 AND mt >= 3.0 AND mt <= 8.0 AND sw >= 0.02
+    ),
+    corpus2 AS (
+      SELECT doc_id, toks FROM (
+        SELECT doc_id, toks,
+               min(doc_id) OVER (PARTITION BY digest) AS keep_id
+        FROM corpus1) t
+      WHERE doc_id = keep_id
+    ),
+    bench_g AS (
+      SELECT DISTINCT unnest(list_distinct(CASE WHEN len(toks) >= 4
+                 THEN [array_to_string(toks[i:i+3], ' ')
+                       for i in range(1, len(toks) - 2)]
+                 ELSE []::VARCHAR[] END)) AS gram
+      FROM base WHERE doc_id % 41 = 0
+    ),
+    doc_g AS (
+      SELECT doc_id,
+             unnest(list_distinct(CASE WHEN len(toks) >= 4
+                 THEN [array_to_string(toks[i:i+3], ' ')
+                       for i in range(1, len(toks) - 2)]
+                 ELSE []::VARCHAR[] END)) AS gram
+      FROM corpus2
+    ),
+    flagged AS (SELECT DISTINCT doc_id FROM doc_g JOIN bench_g USING (gram)),
+    corpus3 AS (
+      SELECT doc_id, len(toks) AS n_tokens FROM corpus2
+      WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    )
+    SELECT CASE WHEN ((doc_id * {cp._SPLIT_A}) % {cp._SPLIT_MOD}) % 100 < 90
+                THEN 'train'
+                WHEN ((doc_id * {cp._SPLIT_A}) % {cp._SPLIT_MOD}) % 100 < 95
+                THEN 'val' ELSE 'test' END AS split,
+           CAST((((doc_id * {cp._MIX_A}) % {cp._SPLIT_MOD}) * 16)
+                 // {cp._SPLIT_MOD} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM corpus3 GROUP BY 1, 2
+    """,
+    tags=("corpus", "extension", "pipeline"),
+)
+def corpus_prepare_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHAINED corpus-preparation pipeline, end to end in one
+    query: eval holdout (doc_id%41 docs become the decontamination
+    benchmark and leave the corpus) → C4 quality chain → exact dedup
+    (min-id survivor per content digest) → 4-gram decontamination
+    against the holdout → deterministic split + global shuffle-shard,
+    emitting the per-(split, shard) doc/token manifest a training job
+    consumes. Every stage is the already-tested standalone operator;
+    this proves they COMPOSE (stage order matters — dedup sees only
+    quality survivors, decontamination only dedup survivors).
+
+    Scale shape: the chain is scan → scan-shaped filters → one digest
+    window → one broadcast gram join → one rollup; near-dup canonical
+    dedup (the LSH chain) slots in between stages 2 and 3 as its own
+    standalone operator (corpus_canonical_docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    # stage 0: eval holdout out of the corpus
+    corpus0 = d.filter(F.col("doc_id") % 41 != 0)
+    # stage 1: quality chain keepers
+    n = tx.token_count(text)
+    mt = tx.mean_token_len(text)
+    sw = tx.stopword_ratio(text)
+    corpus1 = corpus0.filter(
+        (n >= 30) & (mt >= 3.0) & (mt <= 8.0) & (sw >= 0.02)
+    ).select("doc_id", "text")
+    # stage 2: exact dedup, min-id survivor per digest
+    from pyspark.sql import Window as W
+
+    digest = tx.fingerprint_md5(F.col("text"))
+    corpus2 = (
+        corpus1.withColumn("digest", digest)
+        .withColumn("keep_id", F.min("doc_id").over(W.partitionBy("digest")))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "text")
+    )
+    # stage 3: decontaminate vs the holdout's 4-gram set (broadcast)
+    grams4 = lambda c: F.array_distinct(tx.word_ngrams(tx.tokens(c), 4))  # noqa: E731
+    bench_g = (
+        d.filter(F.col("doc_id") % 41 == 0)
+        .select(F.explode(grams4(F.col("text"))).alias("gram"))
+        .distinct()
+    )
+    doc_g = corpus2.select("doc_id", F.explode(grams4(F.col("text"))).alias("gram"))
+    flagged = doc_g.join(F.broadcast(bench_g), "gram").select("doc_id").distinct()
+    corpus3 = corpus2.join(flagged, "doc_id", "left_anti")
+    # stage 4: split + shard manifest
+    return (
+        corpus3.select(
+            cp.split_label(F.col("doc_id")).alias("split"),
+            cp.shard_bucket(F.col("doc_id")).cast("bigint").alias("shard"),
+            tx.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -336,3 +336,27 @@ def test_quality_percentile_filter_keeps_about_ninety_pct(spark, sf_dir):
     for r in rows:
         assert r.n_kept >= 0.9 * r.src_docs - 1, r
         assert r.n_kept <= r.src_docs
+
+
+def test_prepare_manifest_composition_invariants(spark, sf_dir):
+    """The chained pipeline's totals must be consistent with its
+    standalone stages: total docs <= quality keepers; every holdout doc
+    excluded; shard ids within [0, 16); split fractions roughly 90/5/5."""
+    from firefly_vcut_spark.plans import all_queries
+
+    QS2 = all_queries()
+    manifest = QS2["corpus_prepare_manifest"].fn(spark, sf_dir).collect()
+    assert manifest
+    total = sum(r.n_docs for r in manifest)
+    keepers = sum(
+        r.n_docs
+        for r in QS2["corpus_quality_filter_chain"].fn(spark, sf_dir).collect()
+        if r.verdict == "keep"
+    )
+    assert 0 < total <= keepers
+    assert all(0 <= r.shard < 16 for r in manifest)
+    by_split = {}
+    for r in manifest:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert by_split.get("train", 0) > by_split.get("val", 0)
+    assert by_split.get("train", 0) > by_split.get("test", 0)
