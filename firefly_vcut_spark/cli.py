@@ -120,6 +120,46 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_run(args: argparse.Namespace) -> int:
+    """Run any registry query by name and print its rows as JSON lines."""
+    from firefly_vcut_spark.plans import all_queries
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark()
+    for r in qs[args.name].fn(spark, args.sf_dir).collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    from firefly_vcut_spark.plans import all_queries
+
+    for name, q in all_queries().items():
+        tags = ",".join(q.tags)
+        print(f"{name}\t[{tags}]")
+    return 0
+
+
+def cmd_lint(args: argparse.Namespace) -> int:
+    """Lint a registry query's executed plan for scale anti-patterns."""
+    from firefly_vcut_spark.plans import all_queries
+    from firefly_vcut_spark.plans.lint import lint_plan
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark()
+    findings = lint_plan(qs[args.name].fn(spark, args.sf_dir))
+    for f in findings:
+        print(f)
+    print(json.dumps({"query": args.name, "findings": len(findings)}))
+    return 0 if not findings else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="firefly_vcut_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -154,6 +194,19 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("bench", help="run the benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    r = sub.add_parser("run", help="run a registry query, print JSON rows")
+    r.add_argument("name")
+    r.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    r.set_defaults(fn=cmd_run)
+
+    ls = sub.add_parser("list", help="list registry queries")
+    ls.set_defaults(fn=cmd_list)
+
+    ln = sub.add_parser("lint", help="lint a query's executed plan")
+    ln.add_argument("name")
+    ln.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ln.set_defaults(fn=cmd_lint)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -58,3 +58,23 @@ def test_threshold_monotonicity(spark, sf_dir):
     }
     assert at60 <= at40
     assert len(at60) < len(at40)
+
+
+def test_cli_list_run_lint(capsys):
+    import json
+
+    from firefly_vcut_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "corpus_prepare_manifest" in out
+
+    assert main(["run", "a5_scalar_accumulators"]) == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 1
+
+    assert main(["lint", "j1_join_archive_profile"]) == 0
+    tail = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert tail == {"query": "j1_join_archive_profile", "findings": 0}
+
+    assert main(["run", "nope"]) == 2
