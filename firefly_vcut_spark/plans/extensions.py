@@ -1654,3 +1654,39 @@ def mm_video_rvid_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return decode_rvid_features(encode_synthetic_rvid(d))
+
+
+@query(
+    "agg_gram_matrix",
+    sql="""
+    WITH emb AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT unnest(range(1, 65)) AS i FROM (SELECT 1)
+    ),
+    cells AS (
+      SELECT p1.i AS i, p2.i AS j
+      FROM pairs p1 CROSS JOIN pairs p2
+      WHERE p1.i <= p2.i
+    )
+    SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j,
+           round(sum(CAST(floor(e.v[c.i] * e.v[c.j] * 1000000000) AS BIGINT))
+                 / 1000000000.0, 4) AS gram
+    FROM cells c CROSS JOIN emb e
+    GROUP BY c.i, c.j
+    """,
+    tags=("vector", "extension", "linalg"),
+)
+def agg_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix (X^T X) over the embedding corpus — the
+    PCA / covariance / linear-probe building block. Map-side: each
+    partition folds its rows into ONE 64×64 integer partial (Arrow
+    numpy kernel); only 32 KB partials shuffle. FLOOR-quantized
+    products summed as integers make the result partition-order
+    independent — bit-identical to the oracle's row-by-row SQL sum."""
+    from firefly_vcut_spark.operators.linalg import gram_matrix
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix(e)

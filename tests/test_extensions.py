@@ -343,3 +343,27 @@ def test_sessionize_islands_invariants(spark, sf_dir):
         for (t0, _e0, s0), (t1, _e1, s1) in zip(seq, seq[1:]):
             gap = (t1 - t0).total_seconds()
             assert s1 == s0 + (1 if gap > 1800 else 0), (user, t0, t1, s0, s1)
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    """Gram entries must match a local numpy X^T X under the same
+    floor-quantization, and be invariant to repartitioning."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    V = np.array([np.asarray(r.embedding, dtype=np.float64) for r in e.collect()])
+    q = np.floor((V[:, :, None] * V[:, None, :]) * 1_000_000_000).astype(np.int64)
+    expect = q.sum(axis=0)
+    rows = QS["agg_gram_matrix"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64 * 65 // 2
+    for r in rows[:200]:
+        want = round(int(expect[r.i - 1, r.j - 1]) / 1e9, 4)
+        assert r.gram == want, (r.i, r.j, r.gram, want)
+
+    from firefly_vcut_spark.operators.linalg import gram_matrix
+
+    re_rows = {
+        (r.i, r.j): r.gram for r in gram_matrix(e.repartition(7)).collect()
+    }
+    for r in rows:
+        assert re_rows[(r.i, r.j)] == r.gram
