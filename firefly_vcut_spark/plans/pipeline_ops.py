@@ -1095,3 +1095,89 @@ def corpus_prepare_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "corpus_temperature_mixture",
+    sql=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ),
+    weights AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w
+      FROM counts
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS sumw FROM weights),
+    targets AS (
+      SELECT w.source, w.n_docs, w.w,
+             (2000 * w.w) // t.sumw AS k_target
+      FROM weights w CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+                 ORDER BY (d.doc_id * {cp._SAMPLE_A} + {cp._SAMPLE_B})
+                          % {cp._SAMPLE_P}, d.doc_id) AS rnk
+      FROM documents d
+    ),
+    taken AS (
+      SELECT r.source, count(*) AS n_taken
+      FROM ranked r JOIN targets tg USING (source)
+      WHERE r.rnk <= tg.k_target
+      GROUP BY 1
+    )
+    SELECT tg.source, tg.n_docs, tg.w AS weight,
+           CAST(tg.k_target AS BIGINT) AS k_target,
+           CAST(coalesce(tk.n_taken, 0) AS BIGINT) AS n_taken
+    FROM targets tg LEFT JOIN taken tk USING (source)
+    """,
+    tags=("corpus", "extension", "pipeline"),
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (α=0.5, the multilingual /
+    multi-source rebalancing recipe: sample fractions ∝ size^α so
+    small sources are upweighted): per-source targets from
+    INTEGER-quantized sqrt weights (floor(√n·1e6) summed as ints — no
+    float-summation order anywhere), then exactly-k deterministic
+    selection per source via the affine sample hash. Output is the
+    per-source mixture manifest. The weight table is O(sources) and
+    driver-computed (like every model fit in this repo); selection is
+    one rank window per source."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = {r.source: r.n for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    weights = {s: int(math.floor(math.sqrt(n) * 1_000_000)) for s, n in counts.items()}
+    sumw = sum(weights.values())
+    targets = [
+        (s, counts[s], weights[s], (2000 * weights[s]) // sumw)
+        for s in sorted(counts)
+    ]
+    tg = spark.createDataFrame(
+        targets, "source string, n_docs long, weight long, k_target long"
+    )
+
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(cp.sample_hash(F.col("doc_id")), "doc_id")
+    )
+    taken = (
+        d.select("doc_id", "source")
+        .withColumn("rnk", rnk)
+        .join(F.broadcast(tg.select("source", "k_target")), "source")
+        .filter(F.col("rnk") <= F.col("k_target"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_taken"))
+    )
+    return (
+        tg.join(taken, "source", "left")
+        .select(
+            F.col("source").cast("string").alias("source"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("weight").cast("bigint").alias("weight"),
+            F.col("k_target").cast("bigint").alias("k_target"),
+            F.coalesce(F.col("n_taken"), F.lit(0)).cast("bigint").alias("n_taken"),
+        )
+    )

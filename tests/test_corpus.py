@@ -360,3 +360,19 @@ def test_prepare_manifest_composition_invariants(spark, sf_dir):
         by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
     assert by_split.get("train", 0) > by_split.get("val", 0)
     assert by_split.get("train", 0) > by_split.get("test", 0)
+
+
+def test_temperature_mixture_upweights_small_sources(spark, sf_dir):
+    """α=0.5 property: sampling RATE (k/n) decreases with source size
+    — the whole point of temperature rebalancing — and every target is
+    satisfiable (n_taken == min(k_target, n_docs))."""
+    from firefly_vcut_spark.plans import all_queries
+
+    rows = all_queries()["corpus_temperature_mixture"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_taken == min(r.k_target, r.n_docs), r
+    big = max(rows, key=lambda r: r.n_docs)
+    small = min(rows, key=lambda r: r.n_docs)
+    if big.n_docs > 2 * small.n_docs and small.k_target > 0:
+        assert small.k_target / small.n_docs > big.k_target / big.n_docs
