@@ -25,6 +25,48 @@ from pyspark.sql import functions as F
 _Q = 1_000_000_000  # 1e-9 quantization of per-pair products
 
 
+def power_iteration_quantized(
+    gram: dict[tuple[int, int], float], d: int, squarings: int = 7
+) -> list[float]:
+    """Deterministic top-eigenvector estimate by repeated MATRIX
+    SQUARING (M → M², ``squarings`` times ≡ 2^squarings power-iteration
+    steps — needed because the synthetic spectrum is nearly flat,
+    λ1/λ2 ≈ 1.07) with every intermediate quantized so an independent
+    engine can replay it exactly: the matrix is max-normalized with a
+    FLOOR at 1e-6 before and after each squaring (floor on IEEE
+    doubles has no round-half ties), and each squared entry is an
+    INTEGER sum of per-term floors. The eigvec estimate is column 1 of
+    M^(2^s). ``gram`` maps (i, j) 1-based upper-triangle entries."""
+    import math
+
+    def g(i: int, j: int) -> float:
+        return gram[(i, j)] if i <= j else gram[(j, i)]
+
+    mx0 = max(abs(g(i, j)) for i in range(1, d + 1) for j in range(1, d + 1))
+    M = [
+        [math.floor(g(i, j) * 1_000_000 / mx0) / 1_000_000 for j in range(1, d + 1)]
+        for i in range(1, d + 1)
+    ]
+    for _ in range(squarings):
+        P = [
+            [
+                sum(
+                    int(math.floor(M[i][k] * M[k][j] * 1_000_000))
+                    for k in range(d)
+                )
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+        m = max(abs(v) for row in P for v in row)
+        if m == 0:
+            break
+        M = [
+            [math.floor(v * 1_000_000 / m) / 1_000_000 for v in row] for row in P
+        ]
+    return [M[i][0] for i in range(d)]
+
+
 def gram_matrix(
     embeddings: DataFrame,
     vec_col: str = "embedding",

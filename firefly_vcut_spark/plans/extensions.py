@@ -1690,3 +1690,107 @@ def agg_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return gram_matrix(e)
+
+
+def _pca_projection_sql(d: int = 64, squarings: int = 7) -> str:
+    """DuckDB twin of agg_pca_projection: replay the integer-quantized
+    Gram matrix, the floor-quantized repeated matrix squaring
+    (M → M², ``squarings`` times ≡ 2^squarings power-iteration steps),
+    and the per-label projection rollup."""
+    steps = []
+    prev = "m0"
+    for t in range(1, squarings + 1):
+        steps.append(f"""
+    p{t} AS MATERIALIZED (
+      SELECT a.i, b.j,
+             sum(CAST(floor(a.val * b.val * 1000000) AS BIGINT)) AS v
+      FROM {prev} a JOIN {prev} b ON a.j = b.i
+      GROUP BY a.i, b.j
+    ),
+    n{t} AS (SELECT max(abs(v)) AS m FROM p{t}),
+    m{t} AS MATERIALIZED (
+      SELECT i, j, floor(v * 1000000 / m) / 1000000.0 AS val
+      FROM p{t} CROSS JOIN n{t}
+    )""")
+        prev = f"m{t}"
+    unrolled = ",".join(steps)
+    return f"""
+    WITH emb AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT p1.i AS i, p2.i AS j
+      FROM (SELECT unnest(range(1, {d + 1})) AS i) p1
+      CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS i) p2
+      WHERE p1.i <= p2.i
+    ),
+    gq AS MATERIALIZED (
+      SELECT c.i, c.j,
+             round(sum(CAST(floor(e.v[c.i] * e.v[c.j] * 1000000000) AS BIGINT))
+                   / 1000000000.0, 4) AS gram
+      FROM cells c CROSS JOIN emb e
+      GROUP BY c.i, c.j
+    ),
+    gfull AS MATERIALIZED (
+      SELECT i, j, gram FROM gq
+      UNION ALL
+      SELECT j AS i, i AS j, gram FROM gq WHERE i <> j
+    ),
+    n0 AS (SELECT max(abs(gram)) AS m FROM gfull),
+    m0 AS MATERIALIZED (
+      SELECT i, j, floor(gram * 1000000 / m) / 1000000.0 AS val
+      FROM gfull CROSS JOIN n0
+    ),{unrolled},
+    xl AS (SELECT list(val ORDER BY i) AS xv FROM {prev} WHERE j = 1),
+    proj AS (
+      SELECT e.label,
+             CAST(floor(list_aggregate(
+                 list_transform(range(1, {d + 1}),
+                     k -> e.v[k] * x.xv[k]), 'sum') * 10000) AS BIGINT) AS pq
+      FROM emb e CROSS JOIN xl x
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(pq) / 10000.0 / count(*), 4) AS avg_proj
+    FROM proj GROUP BY label
+    """
+
+
+@query(
+    "agg_pca_projection",
+    sql=_pca_projection_sql(),
+    tags=("vector", "extension", "linalg", "ml"),
+)
+def agg_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative ML, oracle-checked end to end: top principal
+    direction over the distributed Gram matrix via repeated MATRIX
+    SQUARING (7 floor-quantized squarings ≡ 128 power-iteration steps
+    — the synthetic spectrum is nearly flat, λ1/λ2 ≈ 1.07, so plain
+    short iteration doesn't converge; squaring gets 2^k steps from k
+    replayable rounds), then every embedding projected onto it
+    (codegen dot with the literal eigvec) and rolled up per label with
+    integer-quantized sums. The 100 TB shape: Gram reduces map-side
+    (32 KB partials), the O(d³)·7 squaring runs on the driver, and the
+    projection is a second scan-shaped pass — the standard two-pass
+    PCA layout."""
+    from firefly_vcut_spark.functions.vectors import dot as vdot
+    from firefly_vcut_spark.operators.linalg import (
+        gram_matrix,
+        power_iteration_quantized,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    gram = {(r.i, r.j): r.gram for r in gram_matrix(e).collect()}
+    x = power_iteration_quantized(gram, 64)
+    lit_x = F.array(*[F.lit(v) for v in x])
+    proj = e.select(
+        "label",
+        F.floor(
+            vdot(F.col("embedding").cast("array<double>"), lit_x) * 10000
+        ).cast("long").alias("pq"),
+    )
+    return proj.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.sum("pq") / 10000.0 / F.count(F.lit(1)), 4).alias("avg_proj"),
+    ).select(F.col("label").cast("bigint").alias("label"), "n_vecs", "avg_proj")

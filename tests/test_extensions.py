@@ -367,3 +367,26 @@ def test_gram_matrix_matches_numpy(spark, sf_dir):
     }
     for r in rows:
         assert re_rows[(r.i, r.j)] == r.gram
+
+
+def test_power_iteration_finds_top_eigenvector(spark, sf_dir):
+    """The quantized power iteration must align with numpy's exact top
+    eigenvector of the same Gram matrix (|cosine| >= 0.99)."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.linalg import (
+        gram_matrix,
+        power_iteration_quantized,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    gram = {(r.i, r.j): r.gram for r in gram_matrix(e).collect()}
+    x = np.array(power_iteration_quantized(gram, 64))
+    G = np.zeros((64, 64))
+    for (i, j), v in gram.items():
+        G[i - 1, j - 1] = v
+        G[j - 1, i - 1] = v
+    w, vecs = np.linalg.eigh(G)
+    top = vecs[:, np.argmax(w)]
+    cos = abs(float(x @ top) / (np.linalg.norm(x) * np.linalg.norm(top)))
+    assert cos >= 0.99, cos
