@@ -1181,3 +1181,88 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_taken"), F.lit(0)).cast("bigint").alias("n_taken"),
         )
     )
+
+
+def _cluster_safe_split_sql() -> str:
+    """Oracle for the leakage-safe split: reuse the canonical-dedup
+    chain's candidate→verify→closure prefix (everything up to the comp
+    CTE), then assign every doc its cluster representative and split
+    on the REPRESENTATIVE's hash."""
+    base = _canonical_docs_sql()
+    head, sep, _tail = base.partition(",\n    q AS (")
+    assert sep, "canonical SQL changed; update the split point"
+    rep_bucket = f"((rep * {cp._SPLIT_A}) % {cp._SPLIT_MOD}) % 100"
+    return f"""{head},
+    compm AS MATERIALIZED (SELECT id, component FROM comp),
+    rep AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+      FROM documents d LEFT JOIN compm c ON c.id = d.doc_id
+    ),
+    labeled AS MATERIALIZED (
+      SELECT doc_id, rep,
+             CASE WHEN {rep_bucket} < 90 THEN 'train'
+                  WHEN {rep_bucket} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM rep
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_leaky_groups FROM (
+        SELECT rep FROM labeled GROUP BY rep
+        HAVING count(DISTINCT split) > 1)
+    )
+    SELECT l.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT l.rep) AS BIGINT) AS n_groups,
+           k.n_leaky_groups
+    FROM labeled l CROSS JOIN leak k
+    GROUP BY l.split, k.n_leaky_groups
+    """
+
+
+@query(
+    "corpus_cluster_safe_split",
+    sql=_cluster_safe_split_sql(),
+    tags=("corpus", "dedup", "extension", "lsh"),
+)
+def corpus_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents
+    must land in the SAME split (a near-copy of a training doc inside
+    the test set silently inflates eval), so the split hash keys on
+    each doc's duplicate-CLUSTER representative — LSH candidates →
+    exact-Jaccard verify → connected components, singletons
+    representing themselves — instead of the doc id. Output: per-split
+    doc/group counts plus the leakage audit (clusters straddling
+    splits — structurally zero, and the oracle recomputes that fact
+    independently). At 100 TB this reuses the dedup job's component
+    output; the split stays a pure projection on top of it."""
+    from firefly_vcut_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    cands = minhash_lsh_candidates(docs, hash_mode="portable").select("id_a", "id_b")
+    pairs = ngram_jaccard_verify(docs, cands).filter(F.col("jaccard") >= 0.8)
+    comps = cp.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    labeled = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn("rep", F.coalesce(F.col("component"), F.col("doc_id")))
+        .withColumn("split", cp.split_label(F.col("rep")))
+    )
+    leaky = (
+        labeled.groupBy("rep")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaky_groups"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("rep").cast("bigint").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .select("split", "n_docs", "n_groups", "n_leaky_groups")
+    )
