@@ -223,3 +223,28 @@ def test_rvid_roundtrip_and_guards():
         decode_rvid(b"\x00\x00\x00\x20ftypisom...")  # MP4-ish magic
     with _pytest.raises(ValueError):
         decode_rvid(blob[:-1])  # torn payload
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis: any int16 sample list and rate round-trips through
+    encode_wav → decode_wav identically."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from firefly_vcut_spark.operators.multimodal import decode_wav, encode_wav
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64
+        ),
+        rate=st.integers(min_value=1, max_value=192_000),
+    )
+    def roundtrip(samples, rate):
+        ch, got_rate, data = decode_wav(encode_wav(rate, samples))
+        assert (ch, got_rate) == (1, rate)
+        assert list(struct.unpack(f"<{len(samples)}h", data)) == samples
+
+    roundtrip()
