@@ -248,3 +248,36 @@ def test_wav_roundtrip_property():
         assert list(struct.unpack(f"<{len(samples)}h", data)) == samples
 
     roundtrip()
+
+
+def test_rvid_roundtrip_property():
+    """Hypothesis: any (w, h, fps, frame bytes) round-trips through
+    encode_rvid → decode_rvid identically."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from firefly_vcut_spark.operators.multimodal import decode_rvid, encode_rvid
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=8),
+        h=st.integers(min_value=1, max_value=8),
+        fps=st.integers(min_value=1, max_value=120),
+        nf=st.integers(min_value=0, max_value=5),
+        data=st.data(),
+    )
+    def roundtrip(w, h, fps, nf, data):
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                    )
+                )
+            )
+            for _ in range(nf)
+        ]
+        got = decode_rvid(encode_rvid(w, h, fps, frames))
+        assert got == (w, h, fps, frames)
+
+    roundtrip()
