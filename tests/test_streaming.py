@@ -380,3 +380,31 @@ def test_stateful_funnel_equals_batch_window_funnel(spark, sf_dir, tmp_path):
             r.n_funnel_clicks,
             r.n_funnel_purchases,
         ), r
+
+
+def test_stateful_funnel_redrain_is_idempotent(spark, sf_dir, tmp_path):
+    """A second AvailableNow drain with the SAME checkpoint must not
+    re-process files — the state counters stay exactly where the first
+    drain left them (the checkpoint is what makes stateful counters
+    exactly-once over re-runs)."""
+    from firefly_vcut_spark.streaming.incremental import funnel_user_state
+
+    ckpt = str(tmp_path / "ckpt_funnel_idem")
+
+    def drain():
+        rows = []
+        q = (
+            funnel_user_state(read_events_stream(spark, sf_dir))
+            .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    first = drain()
+    assert first  # the first drain processed the file
+    second = drain()
+    assert second == []  # checkpoint: nothing new → no re-processing
