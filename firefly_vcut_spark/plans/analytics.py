@@ -665,3 +665,106 @@ def win_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("session_idx"),
     )
+
+
+@query(
+    "t_topk_per_group",
+    sql="""
+    SELECT o_custkey, o_orderkey, total_price, rnk FROM (
+      SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             round(o_totalprice, 4) AS total_price,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+    tags=("window", "topk", "analytics"),
+)
+def t_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (top-3 orders per customer) — the per-group
+    LIMIT shape. Spark plans this as WindowGroupLimit (plan-gated):
+    per-partition top-k heaps run BEFORE the group shuffle, so the
+    exchange carries at most k rows per (group, input partition)
+    instead of the whole fact — the difference between shuffling 3
+    rows and 30 000 per hot customer at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.round("o_totalprice", 4).alias("total_price"),
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "agg_audience_overlap",
+    sql="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           round(p.n_both * 1.0 / (sa.n + sb.n - p.n_both), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+    tags=("agg", "analytics"),
+)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    distinct-user intersection and Jaccard — the segment-overlap
+    report. ONE distinct pass on (user, type), then a self-join whose
+    left side is user-bucketed (5 types → ≤10 rows per user); the
+    tiny per-type sizes broadcast back. At 100 TB the exact distinct
+    pass swaps for theta sketches (mergeable set intersection) with
+    the same output shape."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_both") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -176,3 +176,11 @@ def test_funnel_single_user_shuffle(spark, sf_dir):
     events×events interval join)."""
     plan = _plan(spark, sf_dir, "win_funnel_conversion")
     assert plan.count("Exchange") == 1
+
+
+def test_grouped_topk_plans_window_group_limit(spark, sf_dir):
+    """Grouped top-3 must plan the WindowGroupLimit pre-shuffle prune
+    (partial heaps before the exchange)."""
+    plan = _plan(spark, sf_dir, "t_topk_per_group")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[1] or plan.count("WindowGroupLimit") >= 2
