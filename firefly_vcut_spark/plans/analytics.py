@@ -768,3 +768,54 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "agg_retention_cohorts",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    marked AS (
+      SELECT e.user_id,
+             CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+             CAST(floor(date_diff('day', date_trunc('week', f.first_ts),
+                                  date_trunc('week', e.ts)) / 7) AS BIGINT)
+                 AS weeks_since
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           weeks_since,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM marked GROUP BY 1, 2
+    """,
+    tags=("agg", "analytics", "temporal"),
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, per
+    (cohort, weeks-since-first) distinct actives — the standard
+    retention triangle. One shuffle computes the per-user first-seen
+    (map-side partial MIN), broadcast back into the scan, then one
+    distinct-agg on (cohort, offset, user). Weeks are computed as
+    whole weeks between week-truncated timestamps so both engines
+    bucket identically across DST-free UTC weeks."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    marked = ev.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", F.col("ts")),
+                F.date_trunc("week", F.col("first_ts")),
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("weeks_since"),
+    )
+    return marked.groupBy("cohort_week", "weeks_since").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_active")
+    )
