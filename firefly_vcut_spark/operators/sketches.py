@@ -1,0 +1,170 @@
+"""Mergeable cardinality / frequency sketches: KMV bottom-k and
+Count-Min.
+
+The engine already exposes Spark's own HLL++ (`agg_hll_distinct_users`)
+as the production distinct sketch; these two add the classic
+*hash-deterministic* sketch family, built so every intermediate is
+integer arithmetic an ANSI-SQL oracle replays exactly:
+
+- **KMV (bottom-k)**: keep the k smallest hash values of a set; the
+  k-th smallest order statistic estimates cardinality as
+  (k-1)·P/h_(k) (Bar-Yossef et al., "Counting distinct elements in a
+  data stream"). Bottom-k sets are mergeable (union = k smallest of
+  the concatenation), which also yields set-operation estimates:
+  Jaccard from the union sketch, intersection = J · |A∪B|.
+- **Count-Min** (Cormode & Muthukrishnan): d hash rows × w buckets of
+  additive counters; point estimate = min over rows. Counters are
+  plain SUMs, so the sketch build is one map-side-combinable groupBy
+  and two sketches merge by adding tables.
+
+Both use the portable affine family h_i(x) = (a_i·x + b_i) mod P from
+operators/dedup.perm_coeffs — injective on ids < P, reproducible in
+any engine — rather than xxhash64, so the full sketch math (not just
+the pipeline shape) is oracle-checked.
+
+Scale notes (100 TB): the KMV build is the two-level bounded-state
+top-k shape — per-(group, salt) partial bottom-k via
+sort_array+slice, then one merge per group — so no partition ever
+materializes a full group's hash set; state is O(k · salts) per
+group. The CMS table is d·w rows TOTAL regardless of input size
+(here 4×512), broadcastable anywhere; the probe join is
+broadcast-hash by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.operators.dedup import MINHASH_P, perm_coeffs
+
+
+def affine_hash(x: Column, a: int, b: int) -> Column:
+    """Portable h(x) = (a·x + b) mod P over a non-negative long id.
+    a < P and x < P keeps a·x < 2^60: no int64 overflow in either
+    engine. Injective for distinct x mod P (a invertible mod prime P),
+    so hashing a set preserves its cardinality exactly."""
+    return (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def kmv_bottom_k(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 64,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest affine-hash values of the
+    group's DISTINCT ids, as a sorted array column ``kmv``.
+
+    Two-level mergeable build (the sketch-union shape): partial
+    bottom-k per (group, salt) — each partial's state is a ≤k-element
+    sorted array — then one merge per group by re-sorting the
+    concatenation and slicing k. Identical to merging n_salts
+    independent KMV sketches, which is how the sketch behaves on a
+    real cluster's map-side combine.
+
+    Each partial also carries its distinct count, and the merge SUMS
+    them (salts partition the hash space, so partial counts add up to
+    the exact group cardinality): the output's ``n_distinct`` is exact
+    while ``kmv`` is the bounded sketch — the (sketch, count) pair is
+    what a production sketch register holds.
+    """
+    a, b = perm_coeffs(1)[0]
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        affine_hash(F.col(id_col).cast("long"), a, b).alias("h"),
+    ).distinct()  # distinct (group, hash): injective hash ⇒ distinct ids
+    partial = (
+        hashed.groupBy("g", F.pmod(F.col("h"), F.lit(n_salts)).alias("_salt"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("bk"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    return (
+        partial.groupBy("g")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("bk"))), 1, k
+            ).alias("kmv"),
+            F.sum("pn").cast("long").alias("n_distinct"),
+        )
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def kmv_estimate(kmv: Column, k: int) -> Column:
+    """Cardinality estimate from a bottom-k array: exact size when the
+    set had < k elements (the sketch IS the set), else
+    (k-1)·P / h_(k) — the classic order-statistic estimator."""
+    exact = F.size(kmv).cast("double")
+    est = F.lit(float(k - 1)) * F.lit(float(MINHASH_P)) / F.element_at(
+        kmv, k
+    ).cast("double")
+    return F.when(F.size(kmv) < k, exact).otherwise(est)
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-Min sketch of the key column's frequency distribution:
+    rows (r, bucket, n) with n = count of keys hashing to bucket under
+    row r's hash. d·w rows total — O(1) in the input size — built by
+    ONE map-side-combinable groupBy over the exploded (r, bucket)
+    pairs (depth rows per input row)."""
+    coeffs = perm_coeffs(depth)
+    key = F.col(key_col).cast("long")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(affine_hash(key, a, b), F.lit(width)).alias("bucket"),
+            )
+            for r, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return (
+        df.select(F.explode(buckets).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cms_point_estimates(
+    keys: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """min-over-rows point estimate for each key in ``keys``: each key
+    probes its d buckets against the (broadcast — d·w rows) sketch
+    table. Returns (key, cms_estimate). Estimates ≥ true count always
+    (one-sided error), tested in tests/test_sketches.py."""
+    coeffs = perm_coeffs(depth)
+    key = F.col(key_col).cast("long")
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(affine_hash(key, a, b), F.lit(width)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r, (a, b) in enumerate(coeffs)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "rb.r", "rb.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("n").alias("cms_estimate"))
+    )

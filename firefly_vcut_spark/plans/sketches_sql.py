@@ -1,0 +1,262 @@
+"""Registered sketch queries: KMV bottom-k cardinality / set-overlap
+estimation and Count-Min frequency estimation over the events table.
+
+Spark ships HLL++ and approx_count_distinct as its native sketches
+(`agg_hll_distinct_users`); these register the hash-deterministic
+classic family (operators/sketches.py) whose ENTIRE math — hashing,
+order statistics, min-over-rows — the DuckDB oracle replays exactly,
+so the estimator itself is hash-checked, not just the plumbing.
+
+All estimates are also compared against exact values IN the query
+output, so the oracle check covers the estimator error surface too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.operators.dedup import MINHASH_P, perm_coeffs
+from firefly_vcut_spark.operators.sketches import (
+    cms_point_estimates,
+    cms_table,
+    kmv_bottom_k,
+    kmv_estimate,
+)
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+_KMV_K = 64
+_A1, _B1 = perm_coeffs(1)[0]
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+_CMS_COEFFS = perm_coeffs(_CMS_DEPTH)
+
+_KMV_HASH_SQL = f"(({_A1} * user_id + {_B1}) % {MINHASH_P})"
+
+_KMV_DISTINCT_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS g, {_KMV_HASH_SQL} AS h FROM events
+),
+ranked AS (
+  SELECT g, h,
+         row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY g) AS cnt
+  FROM hashed
+)
+SELECT g AS event_type,
+       CAST(max(cnt) AS BIGINT) AS n_distinct,
+       round(CASE WHEN max(cnt) < {_KMV_K} THEN CAST(max(cnt) AS DOUBLE)
+                  ELSE {float(_KMV_K - 1)} * {float(MINHASH_P)}
+                       / CAST(max(CASE WHEN rn = {_KMV_K} THEN h END) AS DOUBLE)
+             END, 4) AS kmv_estimate
+FROM ranked
+GROUP BY g
+"""
+
+
+@query(
+    "agg_kmv_distinct_users",
+    sql=_KMV_DISTINCT_SQL,
+    tags=("agg", "distinct", "sketch", "extension"),
+)
+def agg_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-user estimate per event_type, next to
+    the exact count carried through the same mergeable aggregation
+    tree. The oracle replays the affine hash and the k-th-order-
+    statistic estimator, so the sketch math itself is hash-checked —
+    the deterministic counterpart of `agg_hll_distinct_users`.
+
+    Scale: two bounded-state aggregations (per-(group,salt) partial
+    bottom-k, then one merge per group); no partition ever holds a
+    full group's hash set."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_bottom_k(ev, "event_type", "user_id", k=_KMV_K)
+    return sk.select(
+        "event_type",
+        "n_distinct",
+        F.round(kmv_estimate(F.col("kmv"), _KMV_K), 4).alias("kmv_estimate"),
+    )
+
+
+_KMV_OVERLAP_SQL = f"""
+WITH flags AS (
+  SELECT {_KMV_HASH_SQL} AS h,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ib
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+ranked AS (
+  SELECT h, ia, ib, row_number() OVER (ORDER BY h) AS rn FROM flags
+),
+sketch AS (
+  SELECT count(*) AS size_u,
+         sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS shared,
+         max(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+  FROM ranked WHERE rn <= {_KMV_K}
+),
+exact AS (
+  SELECT count(*) AS exact_union,
+         sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS exact_inter
+  FROM flags
+)
+SELECT CAST(e.exact_union AS BIGINT) AS exact_union,
+       CAST(e.exact_inter AS BIGINT) AS exact_intersection,
+       round(CASE WHEN s.size_u < {_KMV_K} THEN CAST(s.size_u AS DOUBLE)
+                  ELSE {float(_KMV_K - 1)} * {float(MINHASH_P)}
+                       / CAST(s.hk AS DOUBLE) END, 4) AS est_union,
+       round(CAST(s.shared AS DOUBLE) / CAST(s.size_u AS DOUBLE), 4)
+         AS est_jaccard,
+       round(CAST(s.shared AS DOUBLE) / CAST(s.size_u AS DOUBLE)
+             * (CASE WHEN s.size_u < {_KMV_K} THEN CAST(s.size_u AS DOUBLE)
+                     ELSE {float(_KMV_K - 1)} * {float(MINHASH_P)}
+                          / CAST(s.hk AS DOUBLE) END), 4) AS est_intersection
+FROM sketch s CROSS JOIN exact e
+"""
+
+
+@query(
+    "agg_kmv_click_purchase_overlap",
+    sql=_KMV_OVERLAP_SQL,
+    tags=("agg", "sketch", "setop", "extension"),
+)
+def agg_kmv_click_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates: union size, Jaccard, and
+    intersection size of the click-user and purchase-user sets from
+    two bottom-k sketches ALONE (the union sketch is the k smallest
+    of the two arrays' union; Jaccard = fraction of union-sketch
+    members present in both sides), next to the exact values. This is
+    the theta-sketch workflow: set algebra on O(k) state instead of
+    shuffling the sets.
+
+    Membership probes against each side's bottom-k are sound because
+    any union-sketch member h ≤ h_(k)(A∪B) ≤ h_(k)(A), so h ∈ A ⇒
+    h ∈ bottomk(A)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = kmv_bottom_k(ev, "event_type", "user_id", k=_KMV_K)
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("kmv").alias("kmv_a"), F.col("n_distinct").alias("n_a")
+    )
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("kmv").alias("kmv_b"), F.col("n_distinct").alias("n_b")
+    )
+    u = F.slice(F.array_sort(F.array_union("kmv_a", "kmv_b")), 1, _KMV_K)
+    both = a.crossJoin(b).select(
+        u.alias("u"),
+        F.col("kmv_a"),
+        F.col("kmv_b"),
+    )
+    size_u = F.size("u")
+    shared = F.size(
+        F.filter(
+            "u",
+            lambda h: F.array_contains("kmv_a", h)
+            & F.array_contains("kmv_b", h),
+        )
+    )
+    est_union = kmv_estimate(F.col("u"), _KMV_K)
+    est_jacc = shared.cast("double") / size_u.cast("double")
+    # exact side: one distinct pass with per-side membership flags
+    flags = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("ia"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("ib"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_union"),
+            F.sum(
+                F.when((F.col("ia") == 1) & (F.col("ib") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+    return flags.crossJoin(
+        both.select(
+            F.round(est_union, 4).alias("est_union"),
+            F.round(est_jacc, 4).alias("est_jaccard"),
+            F.round(est_jacc * est_union, 4).alias("est_intersection"),
+        )
+    ).select(
+        "exact_union",
+        "exact_intersection",
+        "est_union",
+        "est_jaccard",
+        "est_intersection",
+    )
+
+
+_CMS_COEFF_VALUES = ", ".join(
+    f"({r}, {a}, {b})" for r, (a, b) in enumerate(_CMS_COEFFS)
+)
+
+_CMS_SQL = f"""
+WITH coeff(r, a, b) AS (VALUES {_CMS_COEFF_VALUES}),
+probes AS (
+  SELECT e.user_id, c.r,
+         ((c.a * e.user_id + c.b) % {MINHASH_P}) % {_CMS_WIDTH} AS bucket
+  FROM events e CROSS JOIN coeff c
+),
+cms AS (
+  SELECT r, bucket, count(*) AS n FROM probes GROUP BY r, bucket
+),
+exact AS (
+  SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id
+),
+est AS (
+  SELECT p.user_id, min(cms.n) AS cms_estimate
+  FROM (SELECT DISTINCT user_id, r, bucket FROM probes) p
+  JOIN cms USING (r, bucket)
+  GROUP BY p.user_id
+)
+SELECT CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(e.exact_n AS BIGINT) AS exact_n,
+       CAST(est.cms_estimate AS BIGINT) AS cms_estimate
+FROM exact e JOIN est USING (user_id)
+ORDER BY e.exact_n DESC, e.user_id
+LIMIT 20
+"""
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    sql=_CMS_SQL,
+    tags=("agg", "sketch", "topk", "extension"),
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the top-20 heaviest users,
+    next to their exact counts — the heavy-hitters workflow where the
+    4×512-counter sketch (O(1) state) stands in for a full per-key
+    count. CMS error is one-sided (estimate ≥ exact, asserted in
+    pytest); the overestimate magnitude is visible in the output and
+    pinned by the oracle hash.
+
+    Scale: the sketch build is one map-side-combinable groupBy to
+    2048 rows; the probe side joins BROADCAST against it, so the only
+    input-sized shuffles are the build's and the exact count's."""
+    ev = load_table(spark, sf_dir, "events")
+    cms = cms_table(ev, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    est = cms_point_estimates(
+        exact.select("user_id"), cms, "user_id", _CMS_DEPTH, _CMS_WIDTH
+    )
+    return (
+        exact.join(est, "user_id")
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "exact_n",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        )
+    )

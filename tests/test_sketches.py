@@ -1,0 +1,91 @@
+"""Sketch-family properties beyond the oracle hash: CMS one-sided
+error, KMV merge-invariance, and estimator accuracy on a set large
+enough for the order-statistic math to bite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.operators.sketches import (
+    cms_point_estimates,
+    cms_table,
+    kmv_bottom_k,
+    kmv_estimate,
+)
+from firefly_vcut_spark.sources.catalog import load_table
+
+
+def test_cms_estimates_are_one_sided(spark, sf_dir):
+    """Count-Min error is strictly one-sided: estimate >= exact for
+    every key (counters only ever add colliding keys' counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    cms = cms_table(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_point_estimates(exact.select("user_id"), cms, "user_id")
+    bad = (
+        exact.join(est, "user_id")
+        .filter(F.col("cms_estimate") < F.col("exact_n"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cms_total_mass_per_row(spark, sf_dir):
+    """Every CMS row's counters sum to the total input count — the
+    additive-counter invariant that makes two sketches merge by
+    adding tables."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    sums = (
+        cms_table(ev, "user_id", depth=4)
+        .groupBy("r")
+        .agg(F.sum("n").alias("mass"))
+        .collect()
+    )
+    assert len(sums) == 4
+    assert all(row["mass"] == total for row in sums)
+
+
+def test_kmv_merge_invariance(spark, sf_dir):
+    """The two-level salted build returns the same sketch as a
+    single-partial build: bottom-k of a union == bottom-k of merged
+    bottom-k partials."""
+    ev = load_table(spark, sf_dir, "events")
+    one = {
+        r["event_type"]: (r["kmv"], r["n_distinct"])
+        for r in kmv_bottom_k(ev, "event_type", "user_id", n_salts=1).collect()
+    }
+    many = {
+        r["event_type"]: (r["kmv"], r["n_distinct"])
+        for r in kmv_bottom_k(ev, "event_type", "user_id", n_salts=8).collect()
+    }
+    assert one == many
+
+
+def test_kmv_estimate_accuracy_large_set(spark):
+    """On 20k distinct ids (>> k) the k=64 order-statistic estimate
+    lands within 3 standard errors (~3/sqrt(64) = 37.5%) of truth."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").alias("user_id")
+    )
+    sk = kmv_bottom_k(df, "g", "user_id", k=64)
+    row = sk.select(
+        "n_distinct", kmv_estimate(F.col("kmv"), 64).alias("est")
+    ).collect()[0]
+    assert row["n_distinct"] == n
+    assert abs(row["est"] - n) / n < 0.375
+
+
+def test_kmv_small_set_is_exact(spark):
+    """Sets smaller than k are carried exactly: the sketch IS the
+    hash set and the estimator returns its size."""
+    df = spark.range(10).select(
+        F.lit("g").alias("g"), F.col("id").alias("user_id")
+    )
+    sk = kmv_bottom_k(df, "g", "user_id", k=64)
+    row = sk.select(
+        F.size("kmv").alias("sz"), kmv_estimate(F.col("kmv"), 64).alias("est")
+    ).collect()[0]
+    assert row["sz"] == 10
+    assert row["est"] == 10.0
