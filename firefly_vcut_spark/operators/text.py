@@ -186,3 +186,75 @@ def fingerprint_rolling(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * _BASE + F.ascii(t) * 31 + F.length(t)) % _MOD,
     )
+
+
+def winnow_fingerprints(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    MOSS algorithm): polynomial hashes of the k-char grams of the
+    alnum-normalized text, then from every window of w consecutive
+    gram hashes keep the RIGHTMOST minimal one. Guarantees: any shared
+    substring of length ≥ k + w - 1 yields at least one shared
+    fingerprint, and the density of selected positions is ~2/(w+1) —
+    the position-robust alternative to MinHash for substring-level
+    matching.
+
+    Entirely pure-Column (transform/aggregate/slice — O(chars·k)
+    inside codegen, no explode, no shuffle): each doc's fingerprint
+    set rides the scan. Returns (id, n_grams, fps) with fps an array
+    of distinct (h, pos) structs.
+
+    Integer arithmetic mod 1e9+7 only, so the DuckDB oracle replays
+    the hashes and the rightmost-min selection rule exactly.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    out = docs.select(F.col(id_col).alias("id"), norm.alias("_s"))
+    out = out.withColumn("_cs", F.filter(F.split(F.col("_s"), ""), lambda c: c != ""))
+    out = out.withColumn("_m", F.greatest(F.size("_cs") - (k - 1), F.lit(0)))
+
+    def gram_hash(i: Column) -> Column:
+        return F.aggregate(
+            F.slice(F.col("_cs"), i, k),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % _MOD,
+        )
+
+    hashes = F.when(
+        F.col("_m") >= 1,
+        F.transform(F.sequence(F.lit(1), F.col("_m")), gram_hash),
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = out.withColumn("_hs", hashes)
+
+    def window_best(s: Column) -> Column:
+        # rightmost minimal hash in positions [s, s+w-1]: "<=" on the
+        # running minimum makes later equal hashes win the tie
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(w - 1)),
+            F.struct(
+                F.lit(_MOD + 1).cast("long").alias("h"),
+                F.lit(-1).cast("long").alias("pos"),
+            ),
+            lambda acc, j: F.when(
+                F.element_at(F.col("_hs"), (s + j).cast("int")) <= acc["h"],
+                F.struct(
+                    F.element_at(F.col("_hs"), (s + j).cast("int")).alias("h"),
+                    (s + j).cast("long").alias("pos"),
+                ),
+            ).otherwise(acc),
+        )
+
+    n_wins = F.col("_m") - (w - 1)
+    sel = F.when(
+        n_wins >= 1, F.transform(F.sequence(F.lit(1), n_wins), window_best)
+    ).otherwise(F.array().cast("array<struct<h:bigint,pos:bigint>>"))
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("_m").cast("long").alias("n_grams"),
+        F.array_distinct(sel).alias("fps"),
+    )

@@ -1,0 +1,171 @@
+"""Winnowing-fingerprint queries: per-doc fingerprint stats and the
+shared-fingerprint near-dup pair scan (the MOSS workflow).
+
+Complements the MinHash/SimHash family: winnowing matches on SHARED
+SUBSTRINGS (any common run of ≥ k+w-1 chars guarantees a shared
+fingerprint), where MinHash matches on set-level Jaccard — the right
+tool for detecting partial containment / quotation / plagiarism-style
+overlap that whole-document signatures dilute.
+
+The DuckDB oracle replays everything: the alnum normalization, the
+per-position polynomial gram hashes, and the rightmost-min window
+selection rule (max position among window-min hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.operators.text import _MOD, winnow_fingerprints
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+_K, _W = 8, 4
+_MAX_DOCS_PER_FP = 50  # stop-gram cap: drop fingerprints this common
+
+# shared SQL prelude: distinct selected (doc_id, pos, h) fingerprints
+_FPS_CTE = f"""
+norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, s, greatest(length(s) - {_K - 1}, 0) AS m FROM norm
+),
+pos AS (
+  SELECT doc_id, s, m, unnest(range(1, m + 1)) AS i FROM dims WHERE m >= 1
+),
+grams AS (
+  SELECT doc_id, m, i,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               list_filter(string_split(substr(s, CAST(i AS INT), {_K}), ''),
+                           c -> c != ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % {_MOD}) AS h
+  FROM pos
+),
+winstarts AS (
+  SELECT doc_id, unnest(range(1, m - {_W} + 2)) AS ws
+  FROM dims WHERE m >= {_W}
+),
+grid AS (
+  SELECT g.doc_id, w.ws, g.i, g.h
+  FROM grams g JOIN winstarts w
+    ON g.doc_id = w.doc_id AND g.i BETWEEN w.ws AND w.ws + {_W - 1}
+),
+winmin AS (
+  SELECT doc_id, ws, min(h) AS mh FROM grid GROUP BY doc_id, ws
+),
+sel AS (
+  SELECT g.doc_id, g.ws, max(g.i) AS pos, min(g.h) AS h
+  FROM grid g JOIN winmin m
+    ON g.doc_id = m.doc_id AND g.ws = m.ws AND g.h = m.mh
+  GROUP BY g.doc_id, g.ws
+),
+fps AS (
+  SELECT DISTINCT doc_id, pos, h FROM sel
+)
+"""
+
+
+@query(
+    "text_winnow_fingerprints",
+    sql=f"""
+    WITH {_FPS_CTE}
+    SELECT d.doc_id,
+           CAST(d.m AS BIGINT) AS n_grams,
+           CAST(coalesce(f.n_fps, 0) AS BIGINT) AS n_fps,
+           CAST(coalesce(f.fp_sum, 0) AS BIGINT) AS fp_sum,
+           CAST(f.fp_min AS BIGINT) AS fp_min,
+           CAST(f.fp_max AS BIGINT) AS fp_max
+    FROM dims d
+    LEFT JOIN (
+      SELECT doc_id, count(*) AS n_fps, sum(h) % {_MOD} AS fp_sum,
+             min(h) AS fp_min, max(h) AS fp_max
+      FROM fps GROUP BY doc_id
+    ) f USING (doc_id)
+    """,
+    tags=("text", "extension", "fingerprint"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint profile: gram count, selected
+    fingerprint count (density ≈ 2/(w+1) of grams), and
+    order-independent integer digests (sum mod P / min / max) of the
+    fingerprint hash set — all replayed exactly by the oracle.
+
+    Scale: pure scan shape — the whole algorithm is array codegen per
+    row; no shuffle, no explode, fingerprints never leave the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, "text", "doc_id", _K, _W)
+    hs = F.transform("fps", lambda x: x["h"])
+    return fp.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.aggregate(
+            hs, F.lit(0).cast("long"), lambda acc, h: acc + h
+        ).__mod__(_MOD).alias("fp_sum"),
+        F.array_min(hs).alias("fp_min"),
+        F.array_max(hs).alias("fp_max"),
+    )
+
+
+@query(
+    "dedup_winnow_pairs",
+    sql=f"""
+    WITH {_FPS_CTE},
+    doc_fp AS (SELECT DISTINCT doc_id, h FROM fps),
+    common AS (
+      SELECT h FROM doc_fp GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {_MAX_DOCS_PER_FP}
+    ),
+    kept AS (SELECT d.doc_id, d.h FROM doc_fp d JOIN common USING (h))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    tags=("dedup", "extension", "fingerprint"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap candidate pairs: docs sharing ≥2 winnowing
+    fingerprints, after dropping fingerprints common to more than 50
+    docs (the boilerplate/stop-gram cap that keeps bucket fan-out
+    bounded — same role as LSH band-size control). Catches quotation /
+    partial-containment overlap MinHash's whole-set Jaccard dilutes.
+
+    Scale: fingerprints explode map-side to (h, doc_id) — 8-byte
+    hashes, never text; one shuffle on h for the frequency cap +
+    bucket self-join (pairs only within a fingerprint's ≤50-doc
+    bucket), one shuffle on the pair for the count. The LSH-candidate
+    shape with h as the band key."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, "text", "doc_id", _K, _W)
+    doc_fp = fp.select(
+        "doc_id", F.explode(F.array_distinct(F.transform("fps", lambda x: x["h"]))).alias("h")
+    )
+    common = (
+        doc_fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _MAX_DOCS_PER_FP))
+        .select("h")
+    )
+    kept = doc_fp.join(common, "h")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
