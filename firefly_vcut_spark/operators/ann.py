@@ -162,20 +162,11 @@ def ivf_lloyd_topk(
     query probes its ``nprobe`` nearest centroids. Every step is
     integer/rounded-double arithmetic an oracle replays exactly, so
     unlike the Spark-ML variant this IVF is hash-checkable end to end."""
-    spark = corpus.sparkSession
     emb = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    h = (F.col("vec_id") * F.lit(IVF_FIT_HASH_A)) % F.lit(IVF_FIT_HASH_MOD)
-    fit_rows = (
-        emb.withColumn("h", h)
-        .orderBy("h", "vec_id")
-        .limit(fit_sample_rows)
-        .select("v")
-        .collect()
-    )
-    centers = lloyd_centers([r.v for r in fit_rows], n_cells, iters)
+    centers = fit_lloyd_sample(emb, n_cells, iters, fit_sample_rows)
     centers_arr = F.array(
         *[
             F.struct(
@@ -186,33 +177,7 @@ def ivf_lloyd_topk(
         ]
     )
 
-    def d2(v: Column, c: Column) -> Column:
-        return F.round(
-            F.aggregate(
-                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-
-    assigned = (
-        emb.repartition(spark.sparkContext.defaultParallelism)
-        .withColumn(
-            "best",
-            F.array_min(
-                F.transform(
-                    centers_arr,
-                    lambda ct: F.struct(
-                        d2(F.col("v"), ct["c"]).alias("d"),
-                        ct["cell"].alias("cell"),
-                    ),
-                )
-            ),
-        )
-        .select("vec_id", "v", F.col("best.cell").alias("cell"))
-        .withColumn("cn", norm(F.col("v")))
-    )
+    assigned = assign_cells(emb, centers).withColumn("cn", norm(F.col("v")))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -640,3 +605,119 @@ def ivf_kmeans_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def fit_lloyd_sample(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    fit_sample_rows: int = 20_000,
+) -> list[list[float]]:
+    """The IVF fit recipe as a reusable step: hash-ordered TakeOrdered
+    sample (O(sample) driver collect at any corpus size) → quantized
+    fixed-iteration Lloyd. ``emb`` must carry (vec_id, v). Shared by
+    ivf_lloyd_topk and the SemDeDup operator so both learn the SAME
+    oracle-replayable quantizer."""
+    h = (F.col("vec_id") * F.lit(IVF_FIT_HASH_A)) % F.lit(IVF_FIT_HASH_MOD)
+    fit_rows = (
+        emb.withColumn("h", h)
+        .orderBy("h", "vec_id")
+        .limit(fit_sample_rows)
+        .select("v")
+        .collect()
+    )
+    return lloyd_centers([r.v for r in fit_rows], n_cells, iters)
+
+
+def assign_cells(emb: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """Nearest-center assignment as a pure-Column array_min over the
+    center literals (no join, stays in codegen): returns
+    (vec_id, v, cell) with round-6 distances and lowest-cell
+    tiebreak — exactly the arithmetic the SQL twins replay."""
+    centers_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cell"),
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+            )
+            for j, c in enumerate(centers)
+        ]
+    )
+    spark = emb.sparkSession
+    return (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn(
+            "best",
+            F.array_min(
+                F.transform(
+                    centers_arr,
+                    lambda ct: F.struct(
+                        _d2(F.col("v"), ct["c"]).alias("d"),
+                        ct["cell"].alias("cell"),
+                    ),
+                )
+            ),
+        )
+        .select("vec_id", "v", F.col("best.cell").alias("cell"))
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    tau: float = 0.30,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with the sample-fit quantizer, then inside each
+    cluster drop every vector that has a HIGHER-PRIORITY semantic
+    near-duplicate (rounded cosine ≥ tau), where priority is (cosine
+    to own centroid ASC, id ASC) — the paper's keep-the-least-
+    redundant-example rule made into a deterministic total order.
+
+    Returns (vec_id, cell, cent_cos, keep). Pairwise cosines are only
+    computed WITHIN a cell: the cluster assignment is the blocking
+    key, which is the whole point of the algorithm at 100 TB — global
+    O(n²) cosine becomes Σ O(|cell|²) with cells balanced by the
+    quantizer. One shuffle on cell for the pair join; centroids ride
+    as plan literals."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    centers = fit_lloyd_sample(emb, n_cells, iters)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centers]
+    )
+    assigned = assign_cells(emb, centers).withColumn(
+        "cent_cos",
+        F.round(
+            cosine(F.col("v"), F.element_at(cent_lit, F.col("cell") + 1)), 4
+        ),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    higher_priority = (F.col("a.cent_cos") < F.col("b.cent_cos")) | (
+        (F.col("a.cent_cos") == F.col("b.cent_cos"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & higher_priority
+            & (F.round(cosine(F.col("a.v"), F.col("b.v")), 4) >= tau),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("keep_flag", F.lit(0))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "cent_cos",
+        F.coalesce("keep_flag", F.lit(1)).cast("long").alias("keep"),
+    )

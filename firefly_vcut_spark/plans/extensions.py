@@ -616,18 +616,16 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_lloyd_sql(
+def lloyd_assign_cte(
     n_cells: int = 16,
-    nprobe: int = 2,
     iters: int = 3,
-    k: int = 5,
     fit_limit: int = 20_000,
-) -> str:
-    """DuckDB twin of ivf_lloyd_topk: replays the hash-ordered fit
-    sample, the fixed-iteration Lloyd fit (unrolled — one
-    assign/update CTE pair per iteration, distances and means rounded
-    to 6 exactly like the Spark/numpy side), the full-corpus cell
-    assignment, the nprobe centroid probe, and the final rank."""
+) -> tuple[str, str]:
+    """Shared CTE prefix replaying the deterministic quantizer
+    (operators/ann.fit_lloyd_sample + assign_cells): hash-ordered fit
+    sample, unrolled Lloyd rounds, and the full-corpus nearest-cell
+    `assign`. Returns (cte_sql, final_centers_cte_name) so IVF and
+    SemDeDup twins share one fit replay."""
     from firefly_vcut_spark.operators.ann import IVF_FIT_HASH_A, IVF_FIT_HASH_MOD
 
     dist = (
@@ -660,8 +658,7 @@ def _ivf_lloyd_sql(
         prev = f"c{t}"
     lloyd = ",".join(steps)
     final_d = dist.format(v="e.v", c="ct.c")
-    return f"""
-    WITH emb AS (
+    cte = f"""emb AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
@@ -677,7 +674,22 @@ def _ivf_lloyd_sql(
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY {final_d} ASC, ct.cell ASC) AS rn
         FROM emb e CROSS JOIN {prev} ct) t WHERE rn = 1
-    ),
+    )"""
+    return cte, prev
+
+
+def _ivf_lloyd_sql(
+    n_cells: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+    k: int = 5,
+    fit_limit: int = 20_000,
+) -> str:
+    """DuckDB twin of ivf_lloyd_topk: the shared quantizer replay
+    (lloyd_assign_cte) + the nprobe centroid probe and final rank."""
+    cte, prev = lloyd_assign_cte(n_cells, iters, fit_limit)
+    return f"""
+    WITH {cte},
     q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
     probe AS (
       SELECT query_id, qv, cell FROM (

@@ -89,3 +89,28 @@ def test_kmv_small_set_is_exact(spark):
     ).collect()[0]
     assert row["sz"] == 10
     assert row["est"] == 10.0
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    """semdedup: an exact duplicate pair in the same cluster keeps
+    exactly one survivor; vectors with no near-dup all survive."""
+    from firefly_vcut_spark.operators.ann import semdedup
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in base],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup(df, n_cells=2, iters=1, tau=0.95).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    assert out[1] + out[2] == 1  # exactly one of the dup pair survives
+    assert out[3] == out[4] == out[5] == 1
