@@ -360,3 +360,33 @@ def pack_next_fit(
         F.col(tokens_col).cast("long"),
     )
     return sel.groupBy(group_col).applyInPandas(fold, PACKED_SCHEMA)
+
+
+def weighted_sample_keys(
+    id_col: Column, weight_col: Column, seed: int = 0
+) -> Column:
+    """A-ES weighted-sampling key (Efraimidis & Spirakis, "Weighted
+    random sampling with a reservoir") in EXACT integer arithmetic:
+    instead of the float key u^(1/w), use the equivalent min of w
+    independent uniform hashes — the item with the global minimum is
+    item i with probability w_i/Σw (each of the Σw draws is equally
+    likely to be the overall minimum), and recursing on the remainder
+    gives exact weighted sampling WITHOUT replacement. Take the k
+    smallest keys to draw k items.
+
+    Each draw j is a quadratically-mixed affine hash mod P — pure
+    BIGINT (q² < 2^63), bit-identical in any engine, so the sampler
+    is oracle-replayable, unlike ln(u)/w float keys. Cost is O(w) per
+    row in codegen: quantize weights to a small integer range."""
+    from firefly_vcut_spark.operators.dedup import MINHASH_P, perm_coeffs
+
+    (a1, b1), (a2, b2) = perm_coeffs(2 + 2 * seed)[2 * seed : 2 * seed + 2]
+    g = (F.lit(a1) * id_col.cast("long") + F.lit(b1)) % F.lit(MINHASH_P)
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), weight_col.cast("long")),
+            lambda j: (
+                lambda q: (q * q + q) % F.lit(MINHASH_P)
+            )((g + F.lit(a2) * j.cast("long") + F.lit(b2)) % F.lit(MINHASH_P)),
+        )
+    )

@@ -260,3 +260,64 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cms_estimate").cast("long").alias("cms_estimate"),
         )
     )
+
+
+_WS_K = 50
+(_WA1, _WB1), (_WA2, _WB2) = __import__(
+    "firefly_vcut_spark.operators.dedup", fromlist=["perm_coeffs"]
+).perm_coeffs(2)
+
+
+@query(
+    "corpus_weighted_sample",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, least(greatest(n_chars // 50, 1), 12) AS wt
+      FROM documents
+    ),
+    keys AS (
+      SELECT doc_id, wt,
+             list_aggregate(
+               list_transform(
+                 list_transform(range(1, wt + 1),
+                   j -> (({_WA1} * doc_id + {_WB1}) % {MINHASH_P}
+                         + {_WA2} * j + {_WB2}) % {MINHASH_P}),
+                 q -> (q * q + q) % {MINHASH_P}),
+               'min') AS k
+      FROM w
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(wt AS BIGINT) AS weight,
+           CAST(k AS BIGINT) AS sample_key
+    FROM keys ORDER BY k, doc_id LIMIT {_WS_K}
+    """,
+    tags=("corpus", "extension", "sampling"),
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (A-ES), hash-checkable:
+    k=50 docs drawn with probability ∝ a length-derived integer
+    weight, via the min-of-w-uniform-hashes key (exact integer
+    equivalent of the u^(1/w) float key — see
+    operators/corpus.weighted_sample_keys). The oracle replays every
+    hash, so the SAMPLER ITSELF is verified, not just its row count —
+    the float-key formulation can't do that across engines.
+
+    Scale: the key is a pure projection (O(w) hashes per row in
+    codegen, no RNG state, no shuffle); the draw is one global top-k
+    (TakeOrderedAndProject — per-partition heaps, never a sort)."""
+    from firefly_vcut_spark.operators.corpus import weighted_sample_keys
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.least(
+        F.greatest(F.expr("n_chars div 50"), F.lit(1)), F.lit(12)
+    )
+    keyed = docs.select(
+        "doc_id",
+        wt.cast("long").alias("weight"),
+        weighted_sample_keys(F.col("doc_id"), wt).alias("sample_key"),
+    )
+    return (
+        keyed.orderBy(F.asc("sample_key"), F.asc("doc_id"))
+        .limit(_WS_K)
+        .select("doc_id", "weight", F.col("sample_key").cast("long").alias("sample_key"))
+    )

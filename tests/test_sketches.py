@@ -114,3 +114,22 @@ def test_semdedup_drops_planted_duplicates(spark):
     assert sorted(out) == [1, 2, 3, 4, 5]
     assert out[1] + out[2] == 1  # exactly one of the dup pair survives
     assert out[3] == out[4] == out[5] == 1
+
+
+def test_weighted_sample_keys_favor_heavy_items(spark):
+    """The min-of-w-hashes key wins for a weight-9 item over a
+    weight-1 item ~90% of the time across independent hash seeds
+    (exact A-ES probability w/(w_a+w_b) = 0.9)."""
+    from firefly_vcut_spark.operators.corpus import weighted_sample_keys
+
+    n_seeds = 60
+    exprs = []
+    for s in range(n_seeds):
+        ka = weighted_sample_keys(F.lit(1001).cast("long"), F.lit(9), seed=s)
+        kb = weighted_sample_keys(F.lit(2002).cast("long"), F.lit(1), seed=s)
+        exprs.append(F.when(ka < kb, 1).otherwise(0).alias(f"w{s}"))
+    row = spark.range(1).select(*exprs).collect()[0]
+    wins = sum(row)
+    # E=54, sigma~2.3; 42 is >5 sigma below — flags a broken sampler,
+    # not an unlucky draw
+    assert wins >= 42, wins
