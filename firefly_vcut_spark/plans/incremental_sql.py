@@ -1,0 +1,97 @@
+"""Incremental materialized-view maintenance as a registered,
+oracle-checked query: a per-user aggregate STATE built from events up
+to a watermark, merged with the DELTA aggregate of events after it —
+the batch-incremental pattern the reference runs nightly (SURVEY
+§2.9), expressed as mergeable partial-agg state.
+
+The merge is provably equal to the full recompute because every
+merged statistic is either exactly mergeable in integers (counts,
+quantized value sums) or a semilattice op (max) — the float-sum trap
+(state + delta ≠ recompute under reordering) is avoided by summing
+1e-4-quantized BIGINTs. The oracle runs the FULL recompute, so the
+hash match IS the incremental-equals-batch proof at the driver gate,
+on top of the pytest equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+_WATERMARK = "2024-07-01 00:00:00"
+
+
+def user_aggregate_state(events: DataFrame) -> DataFrame:
+    """Mergeable per-user aggregate state: (n, qsum, last_us). All
+    BIGINT — two states merge by (+, +, greatest)."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("qsum"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+
+
+def merge_user_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two state tables (full outer on the key; counts/sums
+    add, watermarks take greatest) — the MERGE a nightly incremental
+    run applies to its state store."""
+    bb = (
+        b.withColumnRenamed("n", "bn")
+        .withColumnRenamed("qsum", "bqsum")
+        .withColumnRenamed("last_us", "blast")
+    )
+    return (
+        a.join(bb, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("bn", F.lit(0))).alias("n"),
+            (
+                F.coalesce("qsum", F.lit(0)) + F.coalesce("bqsum", F.lit(0))
+            ).alias("qsum"),
+            F.greatest(
+                F.coalesce("last_us", F.lit(-(1 << 62))),
+                F.coalesce("blast", F.lit(-(1 << 62))),
+            ).alias("last_us"),
+        )
+    )
+
+
+@query(
+    "agg_incremental_mv_merge",
+    sql=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+                 / 10000, 4) AS total_value,
+           strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+             AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "merge", "incremental", "extension"),
+)
+def agg_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance: state(events ≤ watermark) merged
+    with delta(events > watermark); the ORACLE is the full recompute
+    over all events, so the hash match proves state ⊕ delta ≡ batch.
+    Counts and 1e-4-quantized value sums merge in exact BIGINTs;
+    last-seen merges by greatest.
+
+    Scale: the delta aggregate touches only post-watermark partitions
+    (pushed filter), the state table is O(users), and the merge is a
+    full-outer join on the state key — the nightly cost is
+    O(delta + |state|), never O(history)."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = F.lit(_WATERMARK).cast("timestamp")
+    state = user_aggregate_state(ev.filter(F.col("ts") <= wm))
+    delta = user_aggregate_state(ev.filter(F.col("ts") > wm))
+    merged = merge_user_states(state, delta)
+    return merged.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round(F.col("qsum").cast("double") / 10000, 4).alias("total_value"),
+        F.date_format(
+            F.timestamp_micros("last_us"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_ts"),
+    )

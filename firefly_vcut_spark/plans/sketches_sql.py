@@ -321,3 +321,58 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "weight", F.col("sample_key").cast("long").alias("sample_key"))
     )
+
+
+_SAMP_FRAC_NUM = 10  # keep hashes < P/10 → ~10% sample
+
+
+@query(
+    "agg_sampled_percentiles",
+    sql=f"""
+    WITH s AS (
+      SELECT value FROM events
+      WHERE {_KMV_HASH_SQL} < {MINHASH_P} // {_SAMP_FRAC_NUM}
+    ),
+    full_q AS (
+      SELECT round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.95), 4) AS p95
+      FROM events
+    ),
+    samp_q AS (
+      SELECT CAST(count(*) AS BIGINT) AS sample_n,
+             round(quantile_cont(value, 0.5), 4) AS s_p50,
+             round(quantile_cont(value, 0.95), 4) AS s_p95
+      FROM s
+    )
+    SELECT samp_q.sample_n, full_q.p50, samp_q.s_p50, full_q.p95, samp_q.s_p95
+    FROM full_q CROSS JOIN samp_q
+    """,
+    tags=("agg", "percentile", "sampling", "sketch", "extension"),
+)
+def agg_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-percentile estimation: exact interpolated p50/p95 on a
+    deterministic ~10%% hash sample (user-keyed affine hash below
+    P/10) next to the full-data exact values — the bridge between
+    `agg_value_percentiles` (exact, per-group sort) and the
+    approx_percentile sketch: a 10× cheaper sort whose error the
+    output exposes and the oracle pins.
+
+    Scale: the sample predicate is a pure scan filter (pushes to the
+    row level, no shuffle until the percentile); sample size — and
+    therefore the sort — shrinks 10× while both quantiles stay within
+    sampling error (visible in the output columns)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (F.lit(_A1) * F.col("user_id") + F.lit(_B1)) % F.lit(MINHASH_P)
+    samp = ev.filter(h < F.lit(MINHASH_P // _SAMP_FRAC_NUM))
+    full_q = ev.agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+    samp_q = samp.agg(
+        F.count(F.lit(1)).cast("long").alias("sample_n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("s_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("s_p95"),
+    )
+    return samp_q.crossJoin(full_q).select(
+        "sample_n", "p50", "s_p50", "p95", "s_p95"
+    )
