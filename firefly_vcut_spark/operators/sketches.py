@@ -168,3 +168,20 @@ def cms_point_estimates(
         .groupBy(key_col)
         .agg(F.min("n").alias("cms_estimate"))
     )
+
+
+def kmv_merge(a: Column, b: Column, k: int) -> Column:
+    """Merge two bottom-k arrays: k smallest of the union. Set-union
+    semantics make the merge idempotent and commutative — the
+    properties that let KMV state survive micro-batch re-delivery and
+    arbitrary merge trees."""
+    return F.slice(
+        F.array_sort(
+            F.array_union(
+                F.coalesce(a, F.array().cast("array<bigint>")),
+                F.coalesce(b, F.array().cast("array<bigint>")),
+            )
+        ),
+        1,
+        k,
+    )

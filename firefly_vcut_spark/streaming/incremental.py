@@ -468,3 +468,57 @@ def write_dedup_sink(
         return store_root
     store.compact("admitted")
     return store.path("admitted")
+
+
+def write_kmv_sketch_sink(
+    stream_df: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    k: int = 64,
+) -> str:
+    """Streaming distinct-cardinality sketching: fold each micro-batch
+    into a per-group KMV bottom-k state table (operators/sketches) —
+    the always-on analog of agg_kmv_distinct_users. State is
+    O(groups·k) LONGS, so unlike the row stores this sink's full-state
+    rewrite IS O(state), not O(history): the whole point of sketching
+    a stream.
+
+    The merge (k smallest of the set union) is idempotent and
+    commutative, so batch re-delivery after a crash converges to the
+    same state and stream == batch regardless of how the input was
+    micro-batched (asserted in tests/test_streaming_sketch.py).
+    Returns the committed snapshot path; estimate cardinalities with
+    sketches.kmv_estimate."""
+    from firefly_vcut_spark.operators.sketches import kmv_bottom_k, kmv_merge
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    spark = stream_df.sparkSession
+    store = SnapshotStore(spark, store_root)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sk = kmv_bottom_k(batch_df, group_col, id_col, k).select(
+            group_col, "kmv"
+        )
+        if store.exists("sketch"):
+            prev = store.read("sketch").withColumnRenamed("kmv", "prev_kmv")
+            merged = (
+                batch_sk.join(prev, group_col, "full_outer")
+                .select(
+                    group_col,
+                    kmv_merge(F.col("prev_kmv"), F.col("kmv"), k).alias("kmv"),
+                )
+            )
+        else:
+            merged = batch_sk
+        store.write("sketch", merged)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.path("sketch")
