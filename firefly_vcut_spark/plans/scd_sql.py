@@ -1,0 +1,165 @@
+"""Slowly-changing-dimension (SCD Type 2) surface: derive a
+versioned history table from a change stream, and answer point-in-
+time (AS OF) lookups against it — the CDC/warehouse pattern that
+turns an append-only event log into queryable dimension history.
+
+Both queries are pure window/join shapes (no state machine): history
+derivation is gaps-and-islands over (user, ts), the AS OF lookup is
+the as-of join against validity intervals. Deterministic throughout —
+(ts, event_id) total order, timestamps exported as strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """SCD2 derivation: treat each user's event_type as a tracked
+    attribute; consecutive equal values collapse into one version row
+    (valid_from = first ts of the run, valid_to = next version's
+    start, NULL while current). Gaps-and-islands: a version starts
+    where the value differs from its lag; island id = running count
+    of starts; one (user, ts) shuffle shared by both windows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("attr"),
+    ).withColumn(
+        "is_start",
+        F.when(
+            F.col("attr") == F.lag("attr").over(w), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    islands = marked.withColumn(
+        "version",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    hist = islands.groupBy("user_id", "version").agg(
+        F.min("attr").alias("attr"),  # constant within an island
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return hist.withColumn("valid_to", F.lead("valid_from").over(wv))
+
+
+_SCD2_CTE = """
+marked AS (
+  SELECT user_id, ts, event_id, event_type AS attr,
+         CASE WHEN event_type = lag(event_type)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 0 ELSE 1 END AS is_start
+  FROM events
+),
+islands AS (
+  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+  FROM marked
+),
+hist AS (
+  SELECT user_id, version,
+         min(attr) AS attr,  -- constant within an island
+         min(ts) AS valid_from,
+         count(*) AS n_changes
+  FROM islands GROUP BY user_id, version
+),
+hist2 AS (
+  SELECT *, lead(valid_from)
+              OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+  FROM hist
+)
+"""
+
+
+@query(
+    "win_scd2_history",
+    sql=f"""
+    WITH {_SCD2_CTE}
+    SELECT user_id,
+           CAST(version AS BIGINT) AS version,
+           attr,
+           strftime(CAST(valid_from AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+             AS valid_from,
+           coalesce(strftime(CAST(valid_to AS TIMESTAMP),
+                             '%Y-%m-%d %H:%M:%S'), 'CURRENT') AS valid_to,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM hist2
+    """,
+    tags=("window", "temporal", "scd", "extension"),
+)
+def win_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history built from the event log: one row per
+    (user, attribute-run) with [valid_from, valid_to) validity and
+    the run length — consecutive duplicate values collapsed, current
+    version open-ended ('CURRENT'). The CDC pattern for dimension
+    history without a mutable store.
+
+    Scale: one (user, ts) sort shuffle shared by the lag, the island
+    sum, and the rollup; history size is O(changes), not O(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = scd2_history(ev)
+    return h.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "attr",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("CURRENT"),
+        ).alias("valid_to"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+    )
+
+
+_ASOF_TS = "2024-06-15 00:00:00"
+
+
+@query(
+    "t_scd2_asof_lookup",
+    sql=f"""
+    WITH {_SCD2_CTE}
+    SELECT user_id,
+           CAST(version AS BIGINT) AS version,
+           attr,
+           strftime(CAST(valid_from AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+             AS valid_from
+    FROM hist2
+    WHERE valid_from <= TIMESTAMP '{_ASOF_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_TS}')
+    """,
+    tags=("temporal", "asof", "scd", "extension"),
+)
+def t_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) snapshot of the SCD2 dimension: each
+    user's attribute value as it stood at the probe timestamp —
+    validity-interval containment against the history table. With a
+    probe COLUMN instead of a constant this is exactly the engine's
+    as-of join (t_asof_join_latest_archive); the constant-probe form
+    is the time-travel dimension read every warehouse needs.
+
+    Scale: the filter prunes the history scan directly; no join at
+    all for a constant probe."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.lit(_ASOF_TS).cast("timestamp")
+    h = scd2_history(ev)
+    return h.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    ).select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "attr",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+    )
