@@ -244,3 +244,72 @@ def win_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(ewma.cast("double") / _Q, 4).alias("ewma_value"),
     )
+
+
+@query(
+    "win_cumulative_distinct_users",
+    sql="""
+    WITH base AS (
+      SELECT event_type,
+             strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d') AS day,
+             user_id
+      FROM events
+    ),
+    firsts AS (
+      SELECT event_type, user_id, min(day) AS first_day
+      FROM base GROUP BY 1, 2
+    ),
+    news AS (
+      SELECT event_type, first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT event_type, day FROM base)
+    SELECT d.event_type, d.day,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0))
+                OVER (PARTITION BY d.event_type ORDER BY d.day)
+                AS BIGINT) AS cum_distinct_users
+    FROM days d LEFT JOIN news n
+      ON n.event_type = d.event_type AND n.day = d.day
+    """,
+    tags=("window", "distinct", "timeseries", "extension"),
+)
+def win_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users per event_type by day — the windowed
+    COUNT(DISTINCT) Spark (and most engines) cannot express directly,
+    rewritten as first-occurrence counting: min(first-seen day) per
+    (type, user), daily new-user counts, and a running sum over the
+    active days. The standard workaround, registered so its
+    equivalence is hash-proven.
+
+    Scale: two hash aggregates (user-level firsts, daily rollup) +
+    one tiny window over O(types×days) rows — the user-level shuffle
+    happens ONCE, instead of once per window frame as a naive
+    windowed-distinct would."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    firsts = base.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    news = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    days = base.select("event_type", "day").distinct()
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        days.join(news, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn(
+            "cum_distinct_users",
+            F.sum("new_users").over(w).cast("long"),
+        )
+    )
