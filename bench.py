@@ -122,13 +122,17 @@ def main() -> None:
             finally:
                 timer.cancel()
 
+        # informational walls: cap at 2 timed reps so a near-budget
+        # oracle twin (the heavy emulation SQLs) can't stretch the
+        # bench by minutes
+        oracle_reps = min(reps, 2)
         for name in bench_names:
             sql = qs[name].sql
             if not sql:
                 continue
             if timed_run(sql) is None:  # warm (IO cache, plan)
                 continue
-            walls = [timed_run(sql) for _ in range(reps)]
+            walls = [timed_run(sql) for _ in range(oracle_reps)]
             walls = [w for w in walls if w is not None]
             if walls:
                 oracle_timings[name] = round(min(walls), 3)

@@ -170,7 +170,11 @@ def pagerank_quantized(
     Returns (node, deg, rank). The per-round shuffle is one join on
     the edge source + one groupBy on the target; lineage is truncated
     per round (localCheckpoint) exactly like the CC solver's rounds."""
-    deg = degrees(edges)
+    # materialize the edge derivation ONCE: every round joins against
+    # `both` and `deg`, and without the checkpoint the (possibly
+    # expensive) upstream edge pipeline re-executes per round
+    edges = edges.localCheckpoint(eager=True)
+    deg = degrees(edges).localCheckpoint(eager=True)
     both = edges.select(
         F.col("u").alias("s"), F.col("v").alias("t")
     ).unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))

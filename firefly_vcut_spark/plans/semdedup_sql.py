@@ -49,7 +49,7 @@ def _semdedup_sql() -> str:
 @query(
     "corpus_semdedup",
     sql=_semdedup_sql(),
-    tags=("corpus", "dedup", "extension", "vector", "ml"),
+    tags=("corpus", "dedup", "extension", "vector", "ml", "bench"),
 )
 def corpus_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup per-cell summary: members, survivors after dropping

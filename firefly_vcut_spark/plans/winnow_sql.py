@@ -129,7 +129,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """,
-    tags=("dedup", "extension", "fingerprint"),
+    tags=("dedup", "extension", "fingerprint", "bench"),
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-overlap candidate pairs: docs sharing ≥2 winnowing
@@ -143,8 +143,16 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket self-join (pairs only within a fingerprint's ≤50-doc
     bucket), one shuffle on the pair for the count. The LSH-candidate
     shape with h as the band key."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(docs, "text", "doc_id", _K, _W)
+    # the winnowing expression is the CPU stage: spread the (often
+    # single-file) scan across cores before computing it, and
+    # materialize the per-doc fingerprints ONCE — the pair scan reads
+    # them three times (explode, cap join, both self-join sides)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    fp = winnow_fingerprints(docs, "text", "doc_id", _K, _W).localCheckpoint(
+        eager=False
+    )
     doc_fp = fp.select(
         "doc_id", F.explode(F.array_distinct(F.transform("fps", lambda x: x["h"]))).alias("h")
     )
