@@ -184,3 +184,64 @@ def test_grouped_topk_plans_window_group_limit(spark, sf_dir):
     plan = _plan(spark, sf_dir, "t_topk_per_group")
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan.split("WindowGroupLimit")[1] or plan.count("WindowGroupLimit") >= 2
+
+
+def test_cms_probe_join_is_broadcast(spark, sf_dir):
+    """The 2048-row Count-Min table must broadcast to the probe side —
+    the only input-sized shuffles are the build's and the exact
+    count's."""
+    plan = _plan(spark, sf_dir, "agg_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 is heap-merged
+
+
+def test_winnow_stats_is_scan_shaped(spark, sf_dir):
+    """Per-doc winnowing rides the scan: no Exchange, no Generate
+    (explode) — the whole algorithm is array codegen per row."""
+    plan = _plan(spark, sf_dir, "text_winnow_fingerprints")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_kmv_two_level_build_two_exchanges(spark, sf_dir):
+    """KMV distinct: exactly the two bounded-state aggregations
+    (per-(group,salt) partials, per-group merge) — distinct's own
+    exchange plus the merge regroup, nothing else."""
+    plan = _plan(spark, sf_dir, "agg_kmv_distinct_users")
+    assert plan.count("Exchange") <= 3  # distinct + salt-agg + merge
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_windows_reuse_user_exchange(spark, sf_dir):
+    """Gap-fill: grid explode is map-side (Generate above the bound
+    agg, no extra shuffle for it) and no cartesian appears."""
+    plan = _plan(spark, sf_dir, "win_gapfill_daily")
+    assert "Generate" in plan  # the per-user date-sequence explode
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_user_sort_shuffle(spark, sf_dir):
+    """SCD2 history: the lag, island sum, and rollup share the
+    (user, ts) sort — exactly one input-keyed exchange feeds the
+    window chain (plus the final version window's regroup)."""
+    plan = _plan(spark, sf_dir, "win_scd2_history")
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_blocked_on_cell(spark, sf_dir):
+    """SemDeDup: the pair join must key on the cluster cell (the
+    blocking key) — never a cartesian over the corpus."""
+    plan = _plan(spark, sf_dir, "corpus_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "cell" in plan
+
+
+def test_pagerank_rounds_are_checkpoint_truncated(spark, sf_dir):
+    """PageRank: lineage truncation means the executed plan of the
+    registered query contains the FINAL round's joins against
+    checkpointed RDD scans, not 5 rounds of re-derivation."""
+    plan = _plan(spark, sf_dir, "agg_graph_pagerank")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
