@@ -1,0 +1,164 @@
+"""Closed-form linear regression (OLS via normal equations) as a
+hash-checked distributed job: the moment matrix X^T X and X^T y
+accumulate as EXACT integer sums in one scan-shaped aggregate (the
+same reduce shape as operators/linalg.gram_matrix, at d=3 small
+enough for plain Column sums), the 3×3 system solves by exact-integer
+Cramer determinants (Python big-int on the driver ≡ HUGEINT in the
+oracle), and a second scan scores R² from floor-quantized
+predictions.
+
+This is the third hash-checkable ML recipe in the repo (after the
+PCA matrix squaring and the Lloyd/IVF fit): iterative-free this time
+— closed form means the ONLY driver step is a 3×3 determinant.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+# integer feature encoding: x1 = quantity (already integral),
+# x2 = discount in % ticks, y = extended price in cents
+_X1 = "CAST(l_quantity AS BIGINT)"
+_X2 = "CAST(round(l_discount * 100) AS BIGINT)"
+_Y = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+
+
+def _det3(m: list[list[int]]) -> int:
+    """Exact 3×3 determinant over Python big ints."""
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def _sql_det3(m: list[list[str]]) -> str:
+    """The same determinant over HUGEINT-cast SQL expressions."""
+    h = [[f"CAST({e} AS HUGEINT)" for e in row] for row in m]
+    return (
+        f"({h[0][0]} * ({h[1][1]} * {h[2][2]} - {h[1][2]} * {h[2][1]})"
+        f" - {h[0][1]} * ({h[1][0]} * {h[2][2]} - {h[1][2]} * {h[2][0]})"
+        f" + {h[0][2]} * ({h[1][0]} * {h[2][1]} - {h[1][1]} * {h[2][0]}))"
+    )
+
+
+def _ols_sql() -> str:
+    a = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    cols = {"0": ["sy", "s1y", "s2y"]}
+    rep = lambda i: [
+        [cols["0"][r] if c == i else a[r][c] for c in range(3)]
+        for r in range(3)
+    ]
+    det = _sql_det3(a)
+    det0, det1, det2 = (_sql_det3(rep(i)) for i in range(3))
+    # floor-quantize betas (floor has no round-half ties, unlike round)
+    beta = lambda d: f"floor(CAST({d} AS DOUBLE) / CAST({det} AS DOUBLE) * 10000) / 10000"
+    return f"""
+    WITH enc AS (
+      SELECT {_X1} AS x1, {_X2} AS x2, {_Y} AS y FROM lineitem
+    ),
+    mom AS (
+      SELECT count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM enc
+    ),
+    beta AS (
+      SELECT n, sy,
+             {beta(det0)} AS b0, {beta(det1)} AS b1, {beta(det2)} AS b2
+      FROM mom
+    ),
+    scored AS (
+      SELECT e.y,
+             CAST(floor(b.b0 + b.b1 * e.x1 + b.b2 * e.x2) AS BIGINT)
+               AS yhat,
+             CAST(b.sy // b.n AS BIGINT) AS ybar,
+             b.b0, b.b1, b.b2, b.n
+      FROM enc e CROSS JOIN beta b
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           max(b0) AS beta0, max(b1) AS beta1, max(b2) AS beta2,
+           round(1.0 - CAST(sum((y - yhat) * (y - yhat)) AS DOUBLE)
+                       / CAST(sum((y - ybar) * (y - ybar)) AS DOUBLE),
+                 4) AS r2
+    FROM scored
+    """
+
+
+@query(
+    "agg_ols_regression",
+    sql=_ols_sql(),
+    tags=("agg", "ml", "linalg", "extension"),
+)
+def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of extended price (cents) on (1, quantity,
+    discount-ticks) over the whole lineitem table, closed form:
+    integer moment sums → exact-integer Cramer solve (driver big-int;
+    the oracle repeats it in HUGEINT) → R² from floor-quantized
+    predictions in a second scan. Coefficients and fit quality are
+    hash-pinned, which no float-accumulating regression can offer.
+
+    Scale: pass 1 is a scan-shaped aggregate to NINE integers — the
+    d=3 corner of the Gram-matrix reduce (megabytes of partials at
+    100 TB); the solve is O(1) on the driver; pass 2 is another pure
+    scan with the betas as literals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    enc = li.select(
+        F.expr(_X1).alias("x1"), F.expr(_X2).alias("x2"), F.expr(_Y).alias("y")
+    )
+    mom = enc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    ).collect()[0]
+    n, s1, s2 = int(mom["n"]), int(mom["s1"]), int(mom["s2"])
+    s11, s12, s22 = int(mom["s11"]), int(mom["s12"]), int(mom["s22"])
+    sy, s1y, s2y = int(mom["sy"]), int(mom["s1y"]), int(mom["s2y"])
+    A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    b = [sy, s1y, s2y]
+    det = _det3(A)
+    betas = []
+    for i in range(3):
+        Ai = [[b[r] if c == i else A[r][c] for c in range(3)] for r in range(3)]
+        # same floor-quantization as the oracle (no round-half ties)
+        betas.append(math.floor(float(_det3(Ai)) / float(det) * 10000) / 10000)
+    b0, b1, b2 = betas
+    ybar = sy // n
+    scored = enc.select(
+        "y",
+        F.floor(
+            F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+        )
+        .cast("long")
+        .alias("yhat"),
+    )
+    return scored.agg(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(b0).alias("beta0"),
+        F.lit(b1).alias("beta1"),
+        F.lit(b2).alias("beta2"),
+        F.round(
+            F.lit(1.0)
+            - F.sum((F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat"))).cast(
+                "double"
+            )
+            / F.sum(
+                (F.col("y") - F.lit(ybar)) * (F.col("y") - F.lit(ybar))
+            ).cast("double"),
+            4,
+        ).alias("r2"),
+    )

@@ -41,3 +41,42 @@ def test_merge_is_associative_over_three_slices(spark, sf_dir):
     left = merge_user_states(merge_user_states(a, b), c)
     right = merge_user_states(a, merge_user_states(b, c))
     assert _canon(left) == _canon(right) == _canon(user_aggregate_state(ev))
+
+
+def test_ols_recovers_planted_coefficients(spark, tmp_path):
+    """The Cramer solver recovers exact planted coefficients
+    (y = 500 + 200·x1 − 70·x2 in cents) with R² = 1 on noise-free
+    data, via the registered query run against a synthetic lineitem."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (float(q), d / 100.0, (500 + 200 * q - 70 * d) / 100.0)
+        for q in range(1, 21)
+        for d in range(0, 10)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_quantity double, l_discount double, l_extendedprice double"
+    )
+    sf = str(tmp_path / "sfols")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    # the query reads lineitem with the pinned schema: write a full-
+    # schema table with only the three live columns populated
+    from firefly_vcut_spark.schemas import TABLE_SCHEMAS
+
+    full = df
+    for f in TABLE_SCHEMAS["lineitem"].fields:
+        if f.name not in full.columns:
+            full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
+    full.select(*[f.name for f in TABLE_SCHEMAS["lineitem"].fields]).write.parquet(
+        os.path.join(sf, "lineitem.parquet")
+    )
+    from firefly_vcut_spark.plans.regression_sql import agg_ols_regression
+
+    row = agg_ols_regression(spark, sf).collect()[0]
+    assert row["n"] == len(rows)
+    assert abs(row["beta0"] - 500) <= 0.001
+    assert abs(row["beta1"] - 200) <= 0.001
+    assert abs(row["beta2"] - (-70)) <= 0.001
+    assert row["r2"] >= 0.9999
