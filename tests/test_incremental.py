@@ -80,3 +80,43 @@ def test_ols_recovers_planted_coefficients(spark, tmp_path):
     assert abs(row["beta1"] - 200) <= 0.001
     assert abs(row["beta2"] - (-70)) <= 0.001
     assert row["r2"] >= 0.9999
+
+
+def test_naive_bayes_separates_planted_languages(spark, tmp_path):
+    """On a corpus with genuinely distinct character distributions
+    the NB classifier must classify the holdout perfectly."""
+    import os
+    import random
+
+    import pyspark.sql.functions as F
+
+    from firefly_vcut_spark.schemas import TABLE_SCHEMAS
+
+    rng = random.Random(5)
+    alphabets = {"aa": "abcde", "zz": "vwxyz", "mm": "lmnop"}
+    rows = []
+    for i in range(120):
+        lang = list(alphabets)[i % 3]
+        text = " ".join(
+            "".join(rng.choice(alphabets[lang]) for _ in range(6))
+            for _ in range(25)
+        )
+        rows.append((i, text, lang, "src", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    full = df
+    for f in TABLE_SCHEMAS["documents"].fields:
+        if f.name not in full.columns:
+            full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
+    sf = str(tmp_path / "sfnb")
+    os.makedirs(sf, exist_ok=True)
+    full.select(*[f.name for f in TABLE_SCHEMAS["documents"].fields]).write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    from firefly_vcut_spark.plans.nb_sql import text_nb_langid_confusion
+
+    conf = text_nb_langid_confusion(spark, sf).collect()
+    assert conf, "empty confusion matrix"
+    assert all(r["true_lang"] == r["pred_lang"] for r in conf), conf
+    assert sum(r["n_docs"] for r in conf) == 24  # 120 docs / 5 holdout
