@@ -522,3 +522,67 @@ def write_kmv_sketch_sink(
     )
     q.awaitTermination()
     return store.path("sketch")
+
+
+ZSCORE_STATE_SCHEMA = T.StructType(
+    [T.StructField("hist", T.ArrayType(T.LongType()))]
+)
+
+ZSCORE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+def zscore_anomalies_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch rolling z-score scan
+    (plans/timeseries_sql.win_zscore_anomalies): per-user
+    applyInPandasWithState keeping the last ≤20 quantized values —
+    the 21-row window frame becomes O(20) longs of state. Rows are
+    processed in (ts, event_id) order within each micro-batch, so
+    stream == batch whenever micro-batches respect event-time order
+    (time-sliced file arrival — asserted across a 3-slice restart
+    sequence in tests/test_streaming_sketch.py)."""
+    import math
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hist = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        for _, r in rows.iterrows():
+            qv = int(round(float(r["value"]) * 10000))
+            window = hist[-20:]
+            n = len(window)
+            if n >= 10:
+                sq = sum(window)
+                sq2 = sum(x * x for x in window)
+                disc = float(n) * sq2 - float(sq) * sq
+                if disc > 0:
+                    z = (float(qv) * n - sq) / (
+                        n * math.sqrt(disc / (float(n) * (n - 1)))
+                    )
+                    if abs(z) > 2.0:
+                        out.append((key[0], int(r["event_id"]), z))
+            hist.append(qv)
+            hist = hist[-20:]
+        state.update((hist,))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "zscore"]
+        )
+
+    filtered = events.select("user_id", "event_id", "ts", "value")
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

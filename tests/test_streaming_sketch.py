@@ -51,3 +51,69 @@ def test_rerun_after_drain_is_idempotent(spark, sf_dir, tmp_path):
     p2 = write_kmv_sketch_sink(stream2, store, str(tmp_path / "ck2"))
     s2 = {r["event_type"]: r["kmv"] for r in spark.read.parquet(p2).collect()}
     assert s1 == s2
+
+
+def test_streaming_zscore_equals_batch_across_restarts(spark, sf_dir, tmp_path):
+    """The stateful streaming z-score twin, drained over THREE
+    time-sliced file arrivals with restarts between them (same
+    checkpoint — state survives), finds exactly the batch query's
+    anomalies with matching scores."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from firefly_vcut_spark.plans import all_queries
+    from firefly_vcut_spark.streaming.incremental import (
+        zscore_anomalies_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.selectExpr(
+        "CAST(percentile(unix_micros(ts), 0.33) AS LONG)",
+        "CAST(percentile(unix_micros(ts), 0.66) AS LONG)",
+    ).collect()[0]
+    t1, t2 = row[0], row[1]
+    slices = [
+        ev.filter(F.unix_micros("ts") <= t1),
+        ev.filter((F.unix_micros("ts") > t1) & (F.unix_micros("ts") <= t2)),
+        ev.filter(F.unix_micros("ts") > t2),
+    ]
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out_rows = {}
+    os.makedirs(src, exist_ok=True)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(tmp_path / f"slice{i}"))
+        import glob
+        import shutil
+
+        for f in glob.glob(str(tmp_path / f"slice{i}") + "/*.parquet"):
+            shutil.copy(f, os.path.join(src, f"slice{i}.parquet"))
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        sink_dir = str(tmp_path / "anom")
+
+        def dump(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink_dir)
+
+        q = (
+            zscore_anomalies_stream(stream)
+            .writeStream.foreachBatch(dump)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    for r in spark.read.parquet(str(tmp_path / "anom")).collect():
+        out_rows[(r["user_id"], r["event_id"])] = r["zscore"]
+    batch = {
+        (r["user_id"], r["event_id"]): r["zscore"]
+        for r in all_queries()["win_zscore_anomalies"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(out_rows) == set(batch)
+    for k, z in batch.items():
+        # batch emits round(z, 4): raw stream scores agree within the
+        # rounding half-width
+        assert abs(out_rows[k] - z) <= 5.01e-5, k
