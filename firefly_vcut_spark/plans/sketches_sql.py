@@ -376,3 +376,76 @@ def agg_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samp_q.crossJoin(full_q).select(
         "sample_n", "p50", "s_p50", "p95", "s_p95"
     )
+
+
+_JS_COEFF_VALUES = ", ".join(
+    f"({r}, {a}, {b})" for r, (a, b) in enumerate(_CMS_COEFFS)
+)
+# inner-product error ~ N_R*N_S/w: the 512-bucket point-query width is
+# collision-dominated for join sizing, so this query widens to 64k
+# buckets (d*w = 256k counters - still O(1) vs the data)
+_JS_WIDTH = 65536
+
+
+@query(
+    "agg_cms_join_size_estimate",
+    sql=f"""
+    WITH coeff(r, a, b) AS (VALUES {_JS_COEFF_VALUES}),
+    cl AS (
+      SELECT c.r,
+             ((c.a * l.l_orderkey + c.b) % {MINHASH_P}) % {_JS_WIDTH} AS bucket,
+             count(*) AS n
+      FROM lineitem l CROSS JOIN coeff c GROUP BY 1, 2
+    ),
+    co AS (
+      SELECT c.r,
+             ((c.a * o.o_orderkey + c.b) % {MINHASH_P}) % {_JS_WIDTH} AS bucket,
+             count(*) AS n
+      FROM orders o CROSS JOIN coeff c GROUP BY 1, 2
+    ),
+    prod AS (
+      SELECT cl.r, sum(cl.n * co.n) AS ip
+      FROM cl JOIN co USING (r, bucket) GROUP BY cl.r
+    ),
+    est AS (SELECT min(ip) AS est_join_size FROM prod),
+    exact AS (
+      SELECT count(*) AS exact_join_size
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST(exact.exact_join_size AS BIGINT) AS exact_join_size,
+           CAST(est.est_join_size AS BIGINT) AS est_join_size
+    FROM exact CROSS JOIN est
+    """,
+    tags=("agg", "sketch", "join", "scale", "extension"),
+)
+def agg_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join size estimation by Count-Min INNER PRODUCT (Cormode &
+    Muthukrishnan §4.3): |R ⋈ S| ≈ min over rows of Σ_b cms_R[r][b] ·
+    cms_S[r][b] — the cardinality-estimation primitive a cost-based
+    optimizer runs BEFORE committing to a join strategy, here next to
+    the exact size so the (one-sided, ≥ exact) error is hash-pinned.
+
+    Scale: each side reduces to a 2048-counter sketch in one map-side
+    combinable pass (no join of the actual tables needed for the
+    estimate!); the inner product joins two O(d·w) tables. The exact
+    twin join in the output is the verification baseline."""
+    from firefly_vcut_spark.operators.sketches import cms_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    cl = cms_table(li, "k", _CMS_DEPTH, _JS_WIDTH).withColumnRenamed("n", "nl")
+    co = cms_table(o, "k", _CMS_DEPTH, _JS_WIDTH).withColumnRenamed("n", "no")
+    est = (
+        cl.join(co, ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("nl") * F.col("no")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_join_size"))
+    )
+    exact = li.join(o, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_join_size")
+    )
+    return exact.crossJoin(est)

@@ -133,3 +133,30 @@ def test_weighted_sample_keys_favor_heavy_items(spark):
     # E=54, sigma~2.3; 42 is >5 sigma below — flags a broken sampler,
     # not an unlucky draw
     assert wins >= 42, wins
+
+
+def test_cms_join_size_estimate_is_one_sided(spark, sf_dir):
+    """The CMS inner-product join-size estimate never underestimates,
+    and tightens as the sketch widens."""
+    from firefly_vcut_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    exact = li.join(o, "k").count()
+    ests = {}
+    for w in (256, 4096):
+        cl = cms_table(li, "k", 4, w).withColumnRenamed("n", "nl")
+        co = cms_table(o, "k", 4, w).withColumnRenamed("n", "no")
+        ests[w] = (
+            cl.join(co, ["r", "bucket"])
+            .groupBy("r")
+            .agg(F.sum(F.col("nl") * F.col("no")).alias("ip"))
+            .agg(F.min("ip"))
+            .collect()[0][0]
+        )
+    assert all(e >= exact for e in ests.values()), (ests, exact)
+    assert ests[4096] <= ests[256]
