@@ -177,3 +177,102 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+_CW, _CS = 64, 48  # chunk window / stride (16-token overlap)
+
+
+@query(
+    "corpus_passage_chunks",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               t -> t != '') AS tk
+      FROM documents
+    ),
+    dims AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) >= 1),
+    chunks AS (
+      SELECT doc_id, n,
+             unnest(range(0, 1 + (greatest(n - {_CW}, 0) + {_CS} - 1) // {_CS})) AS ci
+      FROM dims
+    ),
+    sliced AS (
+      SELECT c.doc_id, c.ci,
+             list_slice(d.tk, c.ci * {_CS} + 1,
+                        least(c.ci * {_CS} + {_CW}, d.n)) AS ck
+      FROM chunks c JOIN dims d USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(len(ck) AS BIGINT) AS n_tokens,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(ck, t ->
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(list_filter(string_split(t, ''),
+                                                 ch -> ch != ''),
+                        ch -> CAST(ascii(ch) AS BIGINT))),
+                      (a, ch) -> (a * 31 + ch) % {_MOD}))),
+                  (acc, th) -> (acc * 131 + th) % {_MOD}) AS BIGINT)
+             AS chunk_checksum
+    FROM sliced
+    """,
+    tags=("corpus", "extension", "chunking"),
+)
+def corpus_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping passage chunking (the RAG / embedding-prep shape):
+    each doc's whitespace tokens windowed into 64-token passages at
+    stride 48 (16-token overlap so no boundary-split context is
+    lost). Output carries an order-sensitive integer checksum of each
+    passage's tokens instead of the text, so the oracle hash pins the
+    exact chunk CONTENT, not just counts.
+
+    Scale: pure map-side — tokens split once, chunk indices explode
+    O(n/stride) per doc, the slice+fold rides codegen; no shuffle at
+    all (plan shape like the winnow stats)."""
+    from firefly_vcut_spark.operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(normalized_text(F.col("text")), " "), lambda t: t != ""
+    )
+    base = docs.select("doc_id", tk.alias("tk")).withColumn(
+        "n", F.size("tk")
+    ).filter(F.col("n") >= 1)
+    # chunk count = 1 + ceil(max(n - W, 0) / S): no chunk is fully
+    # contained in its predecessor; interiors are window-sized and the
+    # tail still ends at token n
+    ci = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.expr(
+                f"CAST((greatest(n - {_CW}, 0) + {_CS} - 1) div {_CS} AS INT)"
+            ),
+        )
+    )
+    sliced = base.select("doc_id", "tk", "n", ci.alias("ci")).select(
+        "doc_id",
+        "ci",
+        F.slice(
+            "tk",
+            F.col("ci") * _CS + 1,
+            F.least(F.lit(_CW), F.col("n") - F.col("ci") * _CS),
+        ).alias("ck"),
+    )
+    tok_hash = lambda t: F.aggregate(
+        F.filter(F.split(t, ""), lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + F.ascii(c)) % _MOD,
+    )
+    checksum = F.aggregate(
+        F.transform("ck", tok_hash),
+        F.lit(0).cast("long"),
+        lambda acc, th: (acc * 131 + th) % _MOD,
+    )
+    return sliced.select(
+        "doc_id",
+        F.col("ci").cast("long").alias("chunk_idx"),
+        F.size("ck").cast("long").alias("n_tokens"),
+        checksum.alias("chunk_checksum"),
+    )

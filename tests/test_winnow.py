@@ -71,3 +71,37 @@ def test_pair_scan_flags_planted_overlap(spark, sf_dir):
     rows = q.fn(spark, sf_dir).collect()
     assert rows, "no winnow pairs found on the synthetic corpus"
     assert all(r["id_a"] < r["id_b"] and r["n_shared"] >= 2 for r in rows)
+
+
+def test_passage_chunks_cover_and_overlap(spark, sf_dir):
+    """Chunking invariants on the real corpus: per doc, chunk 0
+    starts at token 1, consecutive chunks advance by the stride (so
+    interior overlap = window - stride), full chunks are
+    window-sized, and total coverage reaches the last token."""
+    from pyspark.sql import functions as F
+
+    from firefly_vcut_spark.plans import all_queries
+    from firefly_vcut_spark.plans.winnow_sql import _CS, _CW
+
+    rows = (
+        all_queries()["corpus_passage_chunks"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == _CW, (doc, c)  # only the tail is short
+        tail = chunks[-1]
+        assert 1 <= tail["n_tokens"] <= _CW
+        # starts are stride-spaced from 1 and the tail ends at token
+        # n, so coverage is gapless; count matches 1 + ceil((n-W)/S)
+        n = tail["chunk_idx"] * _CS + tail["n_tokens"]
+        assert len(chunks) == 1 + (max(n - _CW, 0) + _CS - 1) // _CS
+        if len(chunks) > 1:
+            assert tail["n_tokens"] > _CW - _CS  # tail adds new tokens
