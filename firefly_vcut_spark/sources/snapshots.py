@@ -168,6 +168,45 @@ class SnapshotStore:
         paths += [self._verified(os.path.join(tdir, s)) for s in segs]
         return self.spark.read.parquet(*paths)
 
+    def versions(self, table: str) -> list[int]:
+        """Readable base versions, ascending: the committed version
+        plus any retained (not-yet-vacuumed, _SUCCESS-verified)
+        predecessors — the time-travel window (``keep`` controls its
+        depth)."""
+        version, _ = self._state(table)
+        if version is None:
+            return []
+        tdir = self._table_dir(table)
+        out = []
+        for name in os.listdir(tdir):
+            if not name.startswith("v"):
+                continue
+            try:
+                n = int(name[1:])
+            except ValueError:
+                continue
+            if n <= version and os.path.exists(
+                os.path.join(tdir, name, "_SUCCESS")
+            ):
+                out.append(n)
+        return sorted(out)
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time travel (Delta's VERSION AS OF): the table as committed
+        at base ``version``. Only base commits are addressable —
+        segment appends between commits fold into the next base.
+        Raises if the version was never committed or has been
+        vacuumed past the ``keep`` window."""
+        avail = self.versions(table)
+        if version not in avail:
+            raise FileNotFoundError(
+                f"version {version} of {table!r} not readable; "
+                f"retained versions: {avail}"
+            )
+        return self.spark.read.parquet(
+            self._verified(os.path.join(self._table_dir(table), f"v{version}"))
+        )
+
     def write(self, table: str, df: DataFrame) -> int:
         """Write the next FULL base version and commit it atomically
         (resetting the segment list). Returns the committed version."""

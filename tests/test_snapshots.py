@@ -218,3 +218,26 @@ def test_auto_compaction_with_merge_keys(spark, tmp_path):
     assert store.segments("t") == []
     assert store.current_version("t") == 2
     assert {r.k: r.v for r in store.read("t").collect()} == {1: 12}
+
+
+def test_time_travel_reads_prior_version(spark, tmp_path):
+    """read_version serves the table AS OF an earlier base commit
+    while it remains inside the keep window, and refuses once the
+    vacuum has pruned it."""
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "tt"), keep=2)
+    store.write("t", spark.range(3).withColumnRenamed("id", "x"))
+    store.write("t", spark.range(10, 15).withColumnRenamed("id", "x"))
+    assert store.versions("t") == [1, 2]
+    old = {r["x"] for r in store.read_version("t", 1).collect()}
+    new = {r["x"] for r in store.read_version("t", 2).collect()}
+    assert old == {0, 1, 2}
+    assert new == {10, 11, 12, 13, 14}
+    assert {r["x"] for r in store.read("t").collect()} == new
+    store.write("t", spark.range(20, 22).withColumnRenamed("id", "x"))
+    assert store.versions("t") == [2, 3]  # v1 vacuumed (keep=2)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.read_version("t", 1)
