@@ -105,3 +105,29 @@ def test_passage_chunks_cover_and_overlap(spark, sf_dir):
         assert len(chunks) == 1 + (max(n - _CW, 0) + _CS - 1) // _CS
         if len(chunks) > 1:
             assert tail["n_tokens"] > _CW - _CS  # tail adds new tokens
+
+
+def test_udtf_chunker_agrees_with_column_chunker(spark, sf_dir):
+    """The Python UDTF (LATERAL table function) and the pure-Column
+    production chunker emit identical (doc, chunk, token-count)
+    triples."""
+    from firefly_vcut_spark.functions.passages import register
+    from firefly_vcut_spark.plans import all_queries
+    from firefly_vcut_spark.sources.catalog import register_views
+
+    register(spark)
+    register_views(spark, sf_dir)
+    udtf_rows = {
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"])
+        for r in spark.sql(
+            "SELECT d.doc_id, p.chunk_idx, p.n_tokens "
+            "FROM documents d, LATERAL split_passages(d.text) p"
+        ).collect()
+    }
+    col_rows = {
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"])
+        for r in all_queries()["corpus_passage_chunks"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert udtf_rows == col_rows
