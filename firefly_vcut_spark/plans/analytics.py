@@ -819,3 +819,72 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy("cohort_week", "weeks_since").agg(
         F.count_distinct("user_id").cast("bigint").alias("n_active")
     )
+
+
+@query(
+    "win_pareto_frontier",
+    sql="""
+    WITH pts AS (
+      SELECT round(o_totalprice, 2) AS price,
+             CAST(o_orderdate AS DATE) AS d,
+             min(o_orderkey) AS okey
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT price, d, okey,
+             max(d) OVER (ORDER BY price DESC, d DESC, okey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_d
+      FROM pts
+    )
+    SELECT CAST(okey AS BIGINT) AS o_orderkey,
+           price AS total_price,
+           strftime(d, '%Y-%m-%d') AS order_date
+    FROM ranked WHERE best_d IS NULL OR best_d < d
+    """,
+    tags=("window", "analytics", "skyline", "extension"),
+)
+def win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of orders over (total price, order
+    date), both maximized: the orders no other order beats on both
+    dimensions. Exact-duplicate points collapse to their min key
+    first; then a price-descending sweep keeps a point iff no
+    already-seen point has date ≥ its own — the classic one-pass 2-D
+    skyline.
+
+    Scale: computed in TWO phases — local frontiers inside hash
+    buckets (parallel windows; any subset's frontier is a superset of
+    the global frontier's members in it, so no candidate is lost),
+    then the global sweep over the few survivors. The oracle runs the
+    single global sweep, so the hash match PROVES the two-phase
+    decomposition equals the naive plan."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = (
+        o.groupBy(
+            F.round("o_totalprice", 2).alias("price"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .agg(F.min("o_orderkey").alias("okey"))
+    )
+
+    def sweep(df: DataFrame, part_col: str | None) -> DataFrame:
+        w = (
+            Window.partitionBy(part_col)
+            if part_col
+            else Window.partitionBy(F.lit(1))
+        )
+        w = w.orderBy(
+            F.desc("price"), F.desc("d"), F.asc("okey")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        return df.withColumn("best_d", F.max("d").over(w)).filter(
+            F.col("best_d").isNull() | (F.col("best_d") < F.col("d"))
+        ).drop("best_d")
+
+    local = sweep(
+        pts.withColumn("_b", F.pmod(F.col("okey"), F.lit(16))), "_b"
+    ).drop("_b")
+    return sweep(local, None).select(
+        F.col("okey").cast("long").alias("o_orderkey"),
+        F.col("price").alias("total_price"),
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+    )
