@@ -95,3 +95,114 @@ def agg_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros("last_us"), "yyyy-MM-dd HH:mm:ss"
         ).alias("last_ts"),
     )
+
+
+@query(
+    "agg_dq_expectations",
+    sql="""
+    SELECT 'orders.o_orderkey.not_null' AS rule,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderkey.unique',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_totalprice.positive',
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_orderstatus.accepted_values',
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.l_orderkey.ref_orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l ANTI JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_discount.range_0_1',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events.ts.within_2024',
+           CAST(count(*) FILTER (
+             WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01'
+                OR CAST(ts AS TIMESTAMP) >= TIMESTAMP '2025-01-01')
+                AS BIGINT)
+    FROM events
+    """,
+    tags=("agg", "quality", "extension"),
+)
+def agg_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the dbt-test /
+    Great-Expectations surface): not-null, key uniqueness, range,
+    accepted-values, referential-integrity, and freshness-window
+    rules, each reported as a violation count — zero means the
+    contract holds, and the whole report is hash-pinned.
+
+    Scale: per-table rules fuse into one scan each (conditional
+    aggregates); the referential check is a key-only broadcast
+    anti-join. At 100 TB this is the nightly contract job that gates
+    promotion of a new partition."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def rule(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(
+                "n_violations"
+            ),
+        )
+
+    uniq = o.agg(
+        F.lit("orders.o_orderkey.unique").alias("rule"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    ref = (
+        li.join(
+            o.select("o_orderkey"),
+            li["l_orderkey"] == o["o_orderkey"],
+            "left_anti",
+        )
+        .agg(
+            F.lit("lineitem.l_orderkey.ref_orders").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+    )
+    parts = [
+        rule(
+            "orders.o_orderkey.not_null", o, F.col("o_orderkey").isNull()
+        ),
+        uniq,
+        rule(
+            "orders.o_totalprice.positive", o, F.col("o_totalprice") <= 0
+        ),
+        rule(
+            "orders.o_orderstatus.accepted_values",
+            o,
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        ref,
+        rule(
+            "lineitem.l_discount.range_0_1",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        rule(
+            "events.ts.within_2024",
+            ev,
+            (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
