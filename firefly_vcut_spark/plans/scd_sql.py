@@ -163,3 +163,88 @@ def t_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from"
         ),
     )
+
+
+def scd2_apply(history: DataFrame | None, updates: DataFrame) -> DataFrame:
+    """Incremental SCD2 maintenance: apply a CDC batch of later-dated
+    change events to an existing history table, touching ONLY the
+    affected users' OPEN versions — closed versions are immutable and
+    pass through. Equivalent to re-deriving scd2_history from the full
+    log (asserted slice-by-slice in tests/test_scd.py), but the
+    nightly cost is O(batch + open rows), never O(history).
+
+    Mechanics: each affected user's open version becomes a SEED row
+    (its attr, valid_from, and accumulated n_changes) prepended to the
+    user's new events; the same gaps-and-islands pass then renumbers
+    versions from the seed's, merging the first island back into the
+    open version when the attribute didn't change. Users with no
+    history start at version 1.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ups = updates.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("attr"),
+        F.lit(1).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("base_version"),
+    )
+    if history is not None:
+        affected = history.join(
+            updates.select("user_id").distinct(), "user_id"
+        )
+        untouched = history.join(
+            updates.select("user_id").distinct(), "user_id", "left_anti"
+        )
+        closed = affected.filter(F.col("valid_to").isNotNull())
+        seeds = affected.filter(F.col("valid_to").isNull()).select(
+            "user_id",
+            F.col("valid_from").alias("ts"),
+            F.lit(-(1 << 62)).alias("event_id"),  # sorts before any event
+            "attr",
+            F.col("n_changes").alias("w"),
+            F.col("version").alias("base_version"),
+        )
+        stream = seeds.unionByName(ups)
+    else:
+        untouched = closed = None
+        stream = ups
+    marked = stream.withColumn(
+        "is_start",
+        F.when(F.col("attr") == F.lag("attr").over(w), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    base = marked.groupBy("user_id").agg(
+        F.coalesce(F.max("base_version"), F.lit(1)).alias("vbase")
+    )
+    hist = (
+        marked.groupBy("user_id", "island")
+        .agg(
+            F.min("attr").alias("attr"),
+            F.min("ts").alias("valid_from"),
+            F.sum("w").cast("long").alias("n_changes"),
+        )
+        .join(base, "user_id")
+        .select(
+            "user_id",
+            (F.col("island") + F.col("vbase") - 1).cast("long").alias("version"),
+            "attr",
+            "valid_from",
+            "n_changes",
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    tail = hist.withColumn("valid_to", F.lead("valid_from").over(wv))
+    if closed is not None:
+        return untouched.unionByName(closed).unionByName(
+            tail.select(
+                "user_id", "version", "attr", "valid_from", "n_changes", "valid_to"
+            ).select(*untouched.columns)
+        )
+    return tail.select("user_id", "version", "attr", "valid_from", "n_changes", "valid_to")

@@ -43,3 +43,40 @@ def test_asof_returns_at_most_one_version_per_user(spark, sf_dir):
     users = [r["user_id"] for r in rows]
     assert len(users) == len(set(users))
     assert rows, "no user had history at the probe instant"
+
+
+def test_scd2_apply_slices_equals_full_derivation(spark, sf_dir):
+    """Applying the change log in three time-ordered CDC batches
+    (scd2_apply) produces exactly the history scd2_history derives
+    from the full log in one pass."""
+    from pyspark.sql import functions as F
+
+    from firefly_vcut_spark.plans.scd_sql import scd2_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.selectExpr(
+        "CAST(percentile(unix_micros(ts), 0.33) AS LONG)",
+        "CAST(percentile(unix_micros(ts), 0.66) AS LONG)",
+    ).collect()[0]
+    t1, t2 = row[0], row[1]
+    slices = [
+        ev.filter(F.unix_micros("ts") <= t1),
+        ev.filter((F.unix_micros("ts") > t1) & (F.unix_micros("ts") <= t2)),
+        ev.filter(F.unix_micros("ts") > t2),
+    ]
+    hist = None
+    for sl in slices:
+        hist = scd2_apply(hist, sl).localCheckpoint()
+    def canon(df):
+        return sorted(
+            (
+                r["user_id"],
+                r["version"],
+                r["attr"],
+                r["valid_from"],
+                r["valid_to"],
+                r["n_changes"],
+            )
+            for r in df.collect()
+        )
+    assert canon(hist) == canon(scd2_history(ev))
