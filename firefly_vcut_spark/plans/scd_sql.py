@@ -248,3 +248,62 @@ def scd2_apply(history: DataFrame | None, updates: DataFrame) -> DataFrame:
             ).select(*untouched.columns)
         )
     return tail.select("user_id", "version", "attr", "valid_from", "n_changes", "valid_to")
+
+
+@query(
+    "t_scd2_enrich_events",
+    sql=f"""
+    WITH {_SCD2_CTE}
+    SELECT e.event_id,
+           e.user_id,
+           h.attr AS version_attr,
+           CAST(h.version AS BIGINT) AS version,
+           CAST(CASE WHEN h.attr = e.event_type THEN 1 ELSE 0 END AS BIGINT)
+             AS attr_matches
+    FROM events e
+    JOIN hist2 h
+      ON h.user_id = e.user_id
+     AND h.valid_from <= e.ts
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    """,
+    tags=("temporal", "range", "scd", "extension"),
+)
+def t_scd2_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-join enrichment: every event joined to the SCD2
+    version valid AT ITS TIMESTAMP ([valid_from, valid_to)
+    containment, column probe — the fact-to-dimension-history join a
+    warehouse runs constantly). Self-verifying by construction: the
+    valid version's attribute must equal the event's own type (the
+    event either started that version or continued it), so
+    ``attr_matches`` is 1 for every row — asserted in pytest AND
+    visible to the oracle hash.
+
+    Scale: both sides shuffle once on user_id; within a user the
+    validity intervals are few (O(changes)), so the per-user interval
+    probe is cheap — the bucketed-range-join shape with user as the
+    block key."""
+    ev = load_table(spark, sf_dir, "events")
+    # the history derives from the same scan: rename its columns so
+    # the self-join is unambiguous
+    h = scd2_history(ev).select(
+        F.col("user_id").alias("h_user"),
+        F.col("version").alias("h_version"),
+        F.col("attr").alias("h_attr"),
+        F.col("valid_from").alias("h_from"),
+        F.col("valid_to").alias("h_to"),
+    )
+    cond = (
+        (F.col("h_user") == F.col("user_id"))
+        & (F.col("h_from") <= F.col("ts"))
+        & (F.col("h_to").isNull() | (F.col("ts") < F.col("h_to")))
+    )
+    return ev.join(h, cond).select(
+        "event_id",
+        "user_id",
+        F.col("h_attr").alias("version_attr"),
+        F.col("h_version").cast("long").alias("version"),
+        F.when(F.col("h_attr") == F.col("event_type"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("attr_matches"),
+    )

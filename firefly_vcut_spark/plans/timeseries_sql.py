@@ -313,3 +313,64 @@ def win_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("new_users").over(w).cast("long"),
         )
     )
+
+
+@query(
+    "win_rolling_active_users",
+    sql="""
+    WITH du AS (
+      SELECT DISTINCT CAST(time_bucket(INTERVAL '1 day',
+                           CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             user_id
+      FROM events
+    ),
+    cover AS (
+      SELECT CAST(du.d + CAST(o.off AS INTEGER) AS DATE) AS d, du.user_id
+      FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+    ),
+    wau AS (SELECT d, count(DISTINCT user_id) AS wau FROM cover GROUP BY d),
+    dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+    tags=("window", "distinct", "timeseries", "analytics", "extension"),
+)
+def win_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the sliding
+    COUNT(DISTINCT) that neither window frames nor first-occurrence
+    counting can express. Rewritten as coverage expansion: each
+    (user, active-day) pair covers the next 7 report days, so WAU(d)
+    = distinct users covering d — one ×7 map-side explode instead of
+    re-scanning a 7-day window per report day. Days with activity
+    report (only days present in `du` join through).
+
+    Scale: the explode multiplies the (user, day) DISTINCT pairs (not
+    raw events) by the window length; both counts are ordinary hash
+    aggregates. Window length w costs ×w rows — for monthly windows
+    swap in the sorted-merge HLL union of 30 daily sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    cover = du.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda off: F.date_add(F.col("d"), off.cast("int")),
+            )
+        ).alias("d"),
+        "user_id",
+    )
+    wau = cover.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+            "stickiness"
+        ),
+    )
