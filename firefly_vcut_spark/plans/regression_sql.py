@@ -162,3 +162,168 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+def _dec(e: str) -> str:
+    return f"CAST({e} AS DECIMAL(38, 0))"
+
+
+def _grouped_ols_sql() -> str:
+    a = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    b = ["sy", "s1y", "s2y"]
+    rep = lambda i: [
+        [b[r] if c == i else a[r][c] for c in range(3)] for r in range(3)
+    ]
+    det = _sql_det3(a)
+    det0, det1, det2 = (_sql_det3(rep(i)) for i in range(3))
+    beta = (
+        lambda d: f"floor(CAST({d} AS DOUBLE) / CAST({det} AS DOUBLE)"
+        " * 10000) / 10000"
+    )
+    return f"""
+    WITH enc AS (
+      SELECT c.c_mktsegment AS seg,
+             {_X1} AS x1, {_X2} AS x2, {_Y} AS y
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    mom AS (
+      SELECT seg, count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM enc GROUP BY seg
+    ),
+    beta AS (
+      SELECT seg, n, sy,
+             {beta(det0)} AS b0, {beta(det1)} AS b1, {beta(det2)} AS b2
+      FROM mom
+    ),
+    scored AS (
+      SELECT e.seg, e.y,
+             CAST(floor(b.b0 + b.b1 * e.x1 + b.b2 * e.x2) AS BIGINT) AS yhat,
+             CAST(b.sy // b.n AS BIGINT) AS ybar
+      FROM enc e JOIN beta b ON b.seg = e.seg
+    )
+    SELECT b.seg AS segment,
+           CAST(b.n AS BIGINT) AS n,
+           b.b0 AS beta0, b.b1 AS beta1, b.b2 AS beta2,
+           round(1.0 - CAST(sum((s.y - s.yhat) * (s.y - s.yhat)) AS DOUBLE)
+                       / CAST(sum((s.y - s.ybar) * (s.y - s.ybar)) AS DOUBLE),
+                 4) AS r2
+    FROM scored s JOIN beta b ON b.seg = s.seg
+    GROUP BY b.seg, b.n, b.b0, b.b1, b.b2
+    """
+
+
+@query(
+    "agg_grouped_ols_by_segment",
+    sql=_grouped_ols_sql(),
+    tags=("agg", "ml", "linalg", "extension"),
+)
+def agg_grouped_ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS with NO driver solve: one regression per market
+    segment, the 3×3 Cramer determinants computed as DECIMAL(38,0)
+    Column arithmetic on the per-group integer moments (Spark's
+    decimal128 ≡ the oracle's HUGEINT — values bounded ~1e30, far
+    inside 38 digits). This is grouped model fitting as a pure
+    aggregation pipeline: thousands of per-key models would fit in
+    the same two passes, which the driver-solve variant
+    (agg_ols_regression) cannot do.
+
+    Scale: pass 1 = one groupBy to 9 integers per segment (map-side
+    combinable); the beta table is O(groups) and BROADCASTS back for
+    the R² scan; no collect anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    enc = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(_X1).alias("x1"),
+            F.expr(_X2).alias("x2"),
+            F.expr(_Y).alias("y"),
+        )
+    )
+    mom = enc.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+
+    def d(name: str):
+        return F.col(name).cast("decimal(38,0)")
+
+    def det3(m):
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    A = [[d("n"), d("s1"), d("s2")], [d("s1"), d("s11"), d("s12")], [d("s2"), d("s12"), d("s22")]]
+    bv = [d("sy"), d("s1y"), d("s2y")]
+    det = det3(A)
+
+    def beta_col(i: int):
+        Ai = [[bv[r] if cc == i else A[r][cc] for cc in range(3)] for r in range(3)]
+        return F.floor(
+            det3(Ai).cast("double") / det.cast("double") * 10000
+        ) / 10000
+
+    betas = mom.select(
+        "seg",
+        F.col("n").cast("long").alias("n"),
+        F.col("sy"),
+        beta_col(0).alias("b0"),
+        beta_col(1).alias("b1"),
+        beta_col(2).alias("b2"),
+        F.expr("sy div n").alias("ybar"),
+    )
+    scored = enc.join(F.broadcast(betas), "seg").select(
+        "seg",
+        "n",
+        "b0",
+        "b1",
+        "b2",
+        "y",
+        F.floor(
+            F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+        )
+        .cast("long")
+        .alias("yhat"),
+        "ybar",
+    )
+    return (
+        scored.groupBy("seg", "n", "b0", "b1", "b2")
+        .agg(
+            F.round(
+                F.lit(1.0)
+                - F.sum(
+                    (F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat"))
+                ).cast("double")
+                / F.sum(
+                    (F.col("y") - F.col("ybar")) * (F.col("y") - F.col("ybar"))
+                ).cast("double"),
+                4,
+            ).alias("r2")
+        )
+        .select(
+            F.col("seg").alias("segment"),
+            "n",
+            F.col("b0").alias("beta0"),
+            F.col("b1").alias("beta1"),
+            F.col("b2").alias("beta2"),
+            "r2",
+        )
+    )
