@@ -888,3 +888,62 @@ def win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").alias("total_price"),
         F.date_format("d", "yyyy-MM-dd").alias("order_date"),
     )
+
+
+@query(
+    "agg_bitmap_audience_overlap",
+    sql="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    bm AS (
+      SELECT event_type, user_id // 63 AS w,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS bits
+      FROM ut GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+    FROM bm a JOIN bm b ON a.w = b.w AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    HAVING sum(bit_count(a.bits & b.bits)) > 0
+    """,
+    tags=("agg", "setop", "bitmap", "analytics", "extension"),
+)
+def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience intersection via EXACT BITMAPS (the roaring-bitmap
+    warehouse pattern): each event type's user set packs into 64-bit
+    words (bit_or per word index, map-side combinable), pairwise
+    intersections are AND + popcount over aligned words — set algebra
+    on integers instead of a user-level self-join. Must equal
+    `agg_audience_overlap`'s join-based counts (asserted in pytest on
+    top of the oracle).
+
+    Scale: the bitmap table is O(types × user-space/64) words — at
+    100 TB the per-type user shuffle collapses ~64× into words before
+    the pair join, and word chunks join co-partitioned on the word
+    index. Sparse user-id spaces want the roaring container variant;
+    the dense-word arithmetic here is its inner loop."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    # 63-bit words: shifting into bit 63 overflows a signed BIGINT in
+    # ANSI engines (DuckDB errors), so the top bit stays unused
+    bm = ut.groupBy(
+        "event_type", F.expr("user_id div 63").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+        ).alias("bits")
+    )
+    a, b = bm.alias("a"), bm.alias("b")
+    common = F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits"))))
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(common.cast("long").alias("n_both"))
+        .filter(F.col("n_both") > 0)
+    )

@@ -160,3 +160,21 @@ def test_cms_join_size_estimate_is_one_sided(spark, sf_dir):
         )
     assert all(e >= exact for e in ests.values()), (ests, exact)
     assert ests[4096] <= ests[256]
+
+
+def test_bitmap_overlap_equals_join_based_overlap(spark, sf_dir):
+    """The bitmap AND+popcount intersections equal the user-level
+    join-based audience overlap for every type pair."""
+    from firefly_vcut_spark.plans import all_queries
+
+    qs = all_queries()
+    bm = {
+        (r["type_a"], r["type_b"]): r["n_both"]
+        for r in qs["agg_bitmap_audience_overlap"].fn(spark, sf_dir).collect()
+    }
+    jn = {
+        (r["type_a"], r["type_b"]): r["n_both"]
+        for r in qs["agg_audience_overlap"].fn(spark, sf_dir).collect()
+        if r["type_a"] < r["type_b"] and r["n_both"] > 0
+    }
+    assert bm == jn and bm
