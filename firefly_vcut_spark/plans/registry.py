@@ -94,6 +94,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.scd_sql  # noqa: F401
     import firefly_vcut_spark.plans.regression_sql  # noqa: F401
     import firefly_vcut_spark.plans.nb_sql  # noqa: F401
+    import firefly_vcut_spark.plans.affinity_sql  # noqa: F401
 
 
 # Registry-order insurance (VERDICT r1 item 8): the driver records the

@@ -1,0 +1,91 @@
+"""Affinity & search-index family: invariants beyond the oracle —
+pair-explosion completeness, prefix-filter losslessness vs brute
+force, postings discipline, unpivot shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.plans import all_queries
+from firefly_vcut_spark.sources.catalog import load_table
+
+QUERIES = all_queries()
+
+
+def test_cooccurrence_pairs_match_self_join(spark, sf_dir):
+    """The map-side basket pair explosion must produce exactly the
+    distinct (a<b, same order) pair multiset a self-join would."""
+    out = QUERIES["agg_item_cooccurrence"].fn(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    oi = li.distinct()
+    a = oi.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = oi.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    sj = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("item_a"), F.col("pb").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    got = {(r.item_a, r.item_b, r.co_orders) for r in out.collect()}
+    want = {(r.item_a, r.item_b, r.co) for r in sj.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_cooccurrence_cosine_bounds(spark, sf_dir):
+    rows = QUERIES["agg_item_cooccurrence"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.cosine <= 1.0
+        assert r.item_a < r.item_b
+
+
+def test_inverted_index_postings_discipline(spark, sf_dir):
+    rows = QUERIES["text_inverted_index"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.postings_head.split(",")]
+        assert ids == sorted(ids) and len(ids) == len(set(ids))
+        assert len(ids) <= 16
+        assert r.df >= 5
+        assert r.cf >= r.df  # every posting implies >= 1 occurrence
+
+
+def test_allpairs_prefix_filter_is_lossless(spark, sf_dir):
+    """THE AllPairs guarantee: prefix-filtered output == brute-force
+    exact-Jaccard join (no candidate the filter could have missed)."""
+    from firefly_vcut_spark.operators.dedup import word_shingles
+    from firefly_vcut_spark.plans.affinity_sql import ALLPAIRS_TAU
+
+    out = QUERIES["dedup_allpairs_prefix"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sets = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("shs")
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("sa"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("ix", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jac", F.col("ix") / (F.size("sa") + F.size("sb") - F.col("ix"))
+        )
+        .filter(F.col("jac") >= ALLPAIRS_TAU)
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_unpivot_counts_per_flag(spark, sf_dir):
+    out = QUERIES["agg_unpivot_lineitem_metrics"].fn(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = {r.l_returnflag: r.n for r in
+                li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    metrics = {}
+    for r in out:
+        assert r.n == per_flag[r.l_returnflag]
+        metrics.setdefault(r.l_returnflag, set()).add(r.metric)
+    for flag, ms in metrics.items():
+        assert ms == {"quantity", "extendedprice", "discount"}
