@@ -245,3 +245,40 @@ def test_pagerank_rounds_are_checkpoint_truncated(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_graph_pagerank")
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_pairs_from_explode_counts_broadcast(spark, sf_dir):
+    """Co-occurrence: pairs must come from the map-side basket
+    explode (Generate), never a fact self-join, and the per-item
+    count joins must broadcast."""
+    plan = _plan(spark, sf_dir, "agg_item_cooccurrence")
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_inverted_index_single_term_exchange(spark, sf_dir):
+    """Inverted index: one grouped pass — a single term-keyed
+    exchange feeds df/cf/postings together (plus AQE reads)."""
+    plan = _plan(spark, sf_dir, "text_inverted_index")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "sort_array" in plan or "collect_set" in plan
+
+
+def test_unpivot_is_expand_not_union(spark, sf_dir):
+    """Native UNPIVOT: one Expand over one scan — not three
+    unioned rescans of the fact."""
+    plan = _plan(spark, sf_dir, "agg_unpivot_lineitem_metrics")
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_allpairs_no_cartesian_prefix_equi_join(spark, sf_dir):
+    """AllPairs: the candidate join keys on the prefix term (an
+    equi-join) and verification joins candidate ids — the plan may
+    never contain a cartesian or nested-loop pair sweep."""
+    plan = _plan(spark, sf_dir, "dedup_allpairs_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan
