@@ -4,7 +4,7 @@ All pure-Column (JVM, codegen) — no Python in the hot path."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from firefly_vcut_spark.operators.dedup import normalized_text
@@ -257,4 +257,37 @@ def winnow_fingerprints(
         F.col("id").alias(id_col),
         F.col("_m").cast("long").alias("n_grams"),
         F.array_distinct(sel).alias("fps"),
+    )
+
+
+def postings_delta(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-term posting DELTA for one document batch: (term, post
+    [sorted distinct doc ids], cf). Additive — deltas from disjoint
+    batches merge with ``merge_postings``; the unit the streaming
+    index sink appends as O(batch) segments."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    return tok.groupBy("term").agg(
+        F.sort_array(F.collect_set("_id")).alias("post"),
+        F.count(F.lit(1)).cast("long").alias("cf"),
+    )
+
+
+def merge_postings(deltas: DataFrame) -> DataFrame:
+    """Consolidate accumulated posting deltas (≥1 row per term) into
+    the index view: term, df, cf, post. Doc-id sets union (distinct —
+    re-delivered deltas collapse), counts sum."""
+    return (
+        deltas.groupBy("term")
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("post")))
+            ).alias("post"),
+            F.sum("cf").cast("long").alias("cf"),
+        )
+        .select("term", F.size("post").cast("long").alias("df"), "cf", "post")
     )

@@ -586,3 +586,56 @@ def zscore_anomalies_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def write_inverted_index_sink(
+    stream_docs: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+) -> str:
+    """Continuous search-index maintenance: each micro-batch of
+    documents folds to its per-term posting DELTA (operators/text.
+    postings_delta) and is APPENDED as a tagged O(batch) segment — the
+    accumulated index is never read or rewritten in the ingest path
+    (the same segment discipline as write_merge_sink). The full index
+    is merge-on-read via ``read_inverted_index``; compaction folds
+    segments into the next base (additive union — no merge keys: a
+    term's deltas are disjoint-by-batch and consolidate at read).
+
+    Exactly-once: batch re-delivery after a crash re-appends under the
+    same tag and is skipped; even a duplicated delta would collapse in
+    ``merge_postings`` (doc-id sets are distinct-unioned) except for
+    cf, which the tag protects. Returns the snapshot root — read with
+    ``read_inverted_index``."""
+    from firefly_vcut_spark.operators.text import postings_delta
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    spark = stream_docs.sparkSession
+    store = SnapshotStore(spark, store_root)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = postings_delta(batch_df)
+        if store.exists("postings"):
+            store.append_segment(
+                "postings", delta, tag=_sink_tag(checkpoint_dir, batch_id)
+            )
+        else:
+            store.write("postings", delta)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store_root
+
+
+def read_inverted_index(spark: SparkSession, store_root: str) -> DataFrame:
+    """Merge-on-read view of a streamed inverted index: consolidates
+    base + segment posting deltas into (term, df, cf, post)."""
+    from firefly_vcut_spark.operators.text import merge_postings
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    return merge_postings(SnapshotStore(spark, store_root).read("postings"))
