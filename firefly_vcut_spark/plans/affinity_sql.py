@@ -213,6 +213,55 @@ def agg_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 ALLPAIRS_TAU = 0.6
 
 
+def allpairs_candidates(
+    shingled: DataFrame, tau: float, positional: bool = True
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs for an exact Jaccard-≥-τ
+    self-join over ``shingled`` (id, shs): the AllPairs prefix filter,
+    optionally sharpened by PPJoin's positional filter (Xiao, Wang,
+    Lin & Yu, WWW 2008) — both LOSSLESS (pytest-gated vs brute force).
+
+    Prefix: order each set's tokens by global rarity (df asc, term
+    asc); J ≥ τ forces a shared token within both sets' first
+    |s| − ceil(τ|s|) + 1 tokens. Positional: for the first shared
+    token at ranks (ra, rb), overlap ≤ 1 + min(sza−ra, szb−rb), and
+    J ≥ τ needs overlap ≥ ceil(τ/(1+τ)·(sza+szb)) — pairs whose best
+    shared-prefix-token bound can't reach that die before
+    verification ever touches their arrays."""
+    sh = shingled.select("id", F.explode("shs").alias("term"))
+    dfreq = sh.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id")
+    ranked = (
+        sh.join(dfreq, "term")
+        .withColumn("rk", F.row_number().over(w.orderBy("df", "term")))
+        .withColumn("sz", F.count(F.lit(1)).over(w))
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.ceil(tau * F.col("sz")) + 1
+    ).select("id", "term", "rk", "sz")
+    a = prefix.select(
+        F.col("id").alias("id_a"), "term",
+        F.col("rk").alias("ra"), F.col("sz").alias("sza"),
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "term",
+        F.col("rk").alias("rb"), F.col("sz").alias("szb"),
+    )
+    joined = a.join(b, "term").filter(F.col("id_a") < F.col("id_b"))
+    if not positional:
+        return joined.select("id_a", "id_b").distinct()
+    ub = 1 + F.least(
+        F.col("sza") - F.col("ra"), F.col("szb") - F.col("rb")
+    )
+    alpha = F.ceil(tau / (1 + tau) * (F.col("sza") + F.col("szb")))
+    return (
+        joined.groupBy("id_a", "id_b")
+        .agg(F.max(ub - alpha).alias("slack"))
+        .filter(F.col("slack") >= 0)
+        .select("id_a", "id_b")
+    )
+
+
 @query(
     "dedup_allpairs_prefix",
     sql=f"""
@@ -257,7 +306,11 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     term asc — one total order both engines replay); if
     J(a,b) ≥ τ, the first |s| − ceil(τ·|s|) + 1 shingles of each side
     MUST share a term, so the candidate join only explodes that prefix
-    (99.8% of the pair space pruned here, measured vs brute force).
+    (99.8% of the pair space pruned here, measured vs brute force);
+    PPJoin's positional upper bound (see ``allpairs_candidates``) then
+    kills surviving pairs whose shared-prefix rank positions cap their
+    possible overlap below τ's requirement — before verification
+    touches any array.
     Shuffle ledger: one term-shuffle for df, one id-shuffle for the
     rarity ranking, one term-equi-join on prefixes (never a cross
     join), then exact verification joins only candidate ids back to
@@ -272,23 +325,7 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = docs.select(
         F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("shs")
     )
-    sh = shingled.select("id", F.explode("shs").alias("term"))
-    dfreq = sh.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id")
-    ranked = (
-        sh.join(dfreq, "term")
-        .withColumn("rk", F.row_number().over(w.orderBy("df", "term")))
-        .withColumn("sz", F.count(F.lit(1)).over(w))
-    )
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("sz") - F.ceil(tau * F.col("sz")) + 1
-    ).select("id", "term")
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cand = allpairs_candidates(shingled, tau, positional=True)
     sized = shingled.select("id", "shs", F.size("shs").alias("sz"))
     sa = sized.select(
         F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sza")

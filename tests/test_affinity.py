@@ -89,3 +89,34 @@ def test_unpivot_counts_per_flag(spark, sf_dir):
         metrics.setdefault(r.l_returnflag, set()).add(r.metric)
     for flag, ms in metrics.items():
         assert ms == {"quantity", "extendedprice", "discount"}
+
+
+def test_ppjoin_positional_filter_prunes_and_is_lossless(spark, sf_dir):
+    """PPJoin positional candidates must be a subset of the plain
+    prefix candidates, still cover every true pair, and actually
+    prune (the whole point of carrying the ranks)."""
+    from firefly_vcut_spark.operators.dedup import word_shingles
+    from firefly_vcut_spark.plans.affinity_sql import (
+        ALLPAIRS_TAU,
+        allpairs_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("shs")
+    )
+    plain = {
+        (r.id_a, r.id_b)
+        for r in allpairs_candidates(shingled, ALLPAIRS_TAU, positional=False).collect()
+    }
+    pos = {
+        (r.id_a, r.id_b)
+        for r in allpairs_candidates(shingled, ALLPAIRS_TAU, positional=True).collect()
+    }
+    truth = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_allpairs_prefix"].fn(spark, sf_dir).collect()
+    }
+    assert pos <= plain
+    assert truth <= pos
+    assert len(pos) < len(plain)
