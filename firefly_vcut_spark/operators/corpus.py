@@ -382,11 +382,24 @@ def weighted_sample_keys(
 
     (a1, b1), (a2, b2) = perm_coeffs(2 + 2 * seed)[2 * seed : 2 * seed + 2]
     g = (F.lit(a1) * id_col.cast("long") + F.lit(b1)) % F.lit(MINHASH_P)
-    return F.array_min(
-        F.transform(
-            F.sequence(F.lit(1).cast("long"), weight_col.cast("long")),
-            lambda j: (
-                lambda q: (q * q + q) % F.lit(MINHASH_P)
-            )((g + F.lit(a2) * j.cast("long") + F.lit(b2)) % F.lit(MINHASH_P)),
-        )
+    # Guard weight ≤ 0 to a NULL key: Spark's sequence(1, w) with
+    # w < 1 yields a DESCENDING array (e.g. [1, 0] for w=0), which
+    # would hand zero-weight rows a valid — even competitive — key,
+    # while SQL engines whose range(1, w+1) is empty return NULL.
+    # Callers taking the k smallest keys must order NULLs last (or
+    # pre-clamp weights ≥ 1, as corpus_weighted_sample does): a NULL
+    # key means "zero tickets in the w_i/Σw draw", never a winner.
+    return F.when(
+        weight_col.cast("long") >= 1,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), weight_col.cast("long")),
+                lambda j: (
+                    lambda q: (q * q + q) % F.lit(MINHASH_P)
+                )(
+                    (g + F.lit(a2) * j.cast("long") + F.lit(b2))
+                    % F.lit(MINHASH_P)
+                ),
+            )
+        ),
     )

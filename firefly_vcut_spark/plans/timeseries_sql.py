@@ -29,7 +29,7 @@ _Q = 10_000  # value quantization: 1e-4 ticks, exact in BIGINT
       SELECT user_id,
              CAST(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
              count(*) AS n,
-             round(sum(value), 4) AS v
+             round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS v
       FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -68,13 +68,21 @@ def win_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user fill window — both keyed on user_id, so AQE can reuse
     the exchange."""
     ev = load_table(spark, sf_dir, "events")
+    # daily value rollup in the quantized-BIGINT domain (module
+    # determinism discipline): a raw double SUM is order-dependent,
+    # so its 4th rounded decimal could flip between partitionings —
+    # sum exact 1e-4 ticks instead and divide back once.
     daily = (
         ev.groupBy(
             "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("v"),
+            F.round(
+                F.sum(F.round(F.col("value") * _Q).cast("long"))
+                / F.lit(float(_Q)),
+                4,
+            ).alias("v"),
         )
     )
     grid = (

@@ -307,10 +307,16 @@ def funnel_user_state(events: DataFrame) -> DataFrame:
     (plans/analytics.win_funnel_conversion): per-user funnel counters
     maintained in applyInPandasWithState state — the always-on shape
     where the batch query's running conditional-MAX frames become two
-    timestamps in O(users) state. Rows are processed in (ts, event_id)
-    order; the state update happens AFTER evaluating the current row,
-    which is exactly the batch query's strictly-preceding ROWS frame.
+    timestamps in O(users) state. Rows are evaluated in (ts, event_id)
+    order against the last-view / last-funnel-click AS OF the
+    preceding row, which is exactly the batch query's
+    strictly-preceding ROWS frame — and since a click is never a view
+    and a purchase is never a click, the forward-fill AT each row
+    equals the strictly-preceding fill, so the whole batch resolves
+    with two vectorized ffills (no per-row Python loop; µs
+    timestamps < 2^53 are exact in the float64 carrier).
     stream==batch asserted in tests/test_streaming.py."""
+    import numpy as np
 
     def update(
         key: tuple[Any, ...],
@@ -321,20 +327,45 @@ def funnel_user_state(events: DataFrame) -> DataFrame:
             state.get if state.exists else (None, None, 0, 0, 0)
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", "event_id"])
-        for _, r in rows.iterrows():
-            ts_us = int(pd.Timestamp(r["ts"]).value // 1000)
-            typ = r["event_type"]
-            if typ == "view":
-                nv += 1
-                lv = ts_us
-            elif typ == "click":
-                if lv is not None and lv >= ts_us - _FUNNEL_WINDOW_US:
-                    nc += 1
-                    lqc = ts_us
-            elif typ == "purchase":
-                if lqc is not None and lqc >= ts_us - _FUNNEL_WINDOW_US:
-                    np_ += 1
+        rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
+        if len(rows):
+            ts_us = rows["ts"].to_numpy("datetime64[ns]").astype(
+                "int64"
+            ) // 1000
+            typ = rows["event_type"].to_numpy()
+            is_view = typ == "view"
+            # last view as of each row: carried state, then ffill of
+            # view timestamps (views are the only writers of lv)
+            lv_at = (
+                pd.Series(np.where(is_view, ts_us, np.nan))
+                .ffill()
+                .fillna(np.nan if lv is None else float(lv))
+                .to_numpy()
+            )
+            cutoff = ts_us - _FUNNEL_WINDOW_US
+            funnel_click = (
+                (typ == "click") & ~np.isnan(lv_at) & (lv_at >= cutoff)
+            )
+            # last funnel click: depends only on views (not on prior
+            # clicks), so one more ffill closes the chain
+            lqc_at = (
+                pd.Series(np.where(funnel_click, ts_us, np.nan))
+                .ffill()
+                .fillna(np.nan if lqc is None else float(lqc))
+                .to_numpy()
+            )
+            funnel_purch = (
+                (typ == "purchase")
+                & ~np.isnan(lqc_at)
+                & (lqc_at >= cutoff)
+            )
+            nv += int(is_view.sum())
+            nc += int(funnel_click.sum())
+            np_ += int(funnel_purch.sum())
+            if is_view.any():
+                lv = int(ts_us[is_view][-1])
+            if funnel_click.any():
+                lqc = int(ts_us[funnel_click][-1])
         state.update((lv, lqc, nv, nc, np_))
         yield pd.DataFrame(
             {
@@ -545,8 +576,15 @@ def zscore_anomalies_stream(events: DataFrame) -> DataFrame:
     processed in (ts, event_id) order within each micro-batch, so
     stream == batch whenever micro-batches respect event-time order
     (time-sliced file arrival — asserted across a 3-slice restart
-    sequence in tests/test_streaming_sketch.py)."""
-    import math
+    sequence in tests/test_streaming_sketch.py).
+
+    The 20-row frames are resolved vectorized (no per-row Python
+    loop): prepend the carried ≤20-value history to the sorted batch,
+    take exact int64 cumulative sums of qv and qv², and difference
+    them 20 apart — each row's Σ/Σ² over its strictly-preceding
+    window in O(batch) numpy ops, with the z expression evaluated in
+    the same float64 tree as the batch twin's SQL."""
+    import numpy as np
 
     def update(
         key: tuple[Any, ...],
@@ -555,28 +593,40 @@ def zscore_anomalies_stream(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         hist = list(state.get[0]) if state.exists else []
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", "event_id"])
-        out = []
-        for _, r in rows.iterrows():
-            qv = int(round(float(r["value"]) * 10000))
-            window = hist[-20:]
-            n = len(window)
-            if n >= 10:
-                sq = sum(window)
-                sq2 = sum(x * x for x in window)
-                disc = float(n) * sq2 - float(sq) * sq
-                if disc > 0:
-                    z = (float(qv) * n - sq) / (
-                        n * math.sqrt(disc / (float(n) * (n - 1)))
-                    )
-                    if abs(z) > 2.0:
-                        out.append((key[0], int(r["event_id"]), z))
-            hist.append(qv)
-            hist = hist[-20:]
-        state.update((hist,))
-        yield pd.DataFrame(
-            out, columns=["user_id", "event_id", "zscore"]
+        rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
+        h = len(hist)
+        qv = np.concatenate(
+            [
+                np.asarray(hist, dtype=np.int64),
+                np.round(
+                    rows["value"].to_numpy(np.float64) * 10000
+                ).astype(np.int64),
+            ]
         )
+        # windowed Σqv / Σqv² over ROWS 20 PRECEDING..1 PRECEDING via
+        # cumsum differences — exact int64, same domain as the batch
+        # twin's BIGINT window sums
+        cs = np.concatenate([[0], np.cumsum(qv)])
+        cs2 = np.concatenate([[0], np.cumsum(qv * qv)])
+        idx = np.arange(h, len(qv))  # batch rows' global positions
+        lo = np.maximum(idx - 20, 0)
+        n = (idx - lo).astype(np.float64)
+        sq = (cs[idx] - cs[lo]).astype(np.float64)
+        sq2 = (cs2[idx] - cs2[lo]).astype(np.float64)
+        qf = qv[idx].astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            disc = n * sq2 - sq * sq
+            z = (qf * n - sq) / (n * np.sqrt(disc / (n * (n - 1))))
+            keep = (n >= 10) & (disc > 0) & (np.abs(z) > 2.0)
+        out = pd.DataFrame(
+            {
+                "user_id": key[0],
+                "event_id": rows["event_id"].to_numpy(np.int64)[keep],
+                "zscore": z[keep],
+            }
+        )
+        state.update((qv[-20:].tolist(),))
+        yield out
 
     filtered = events.select("user_id", "event_id", "ts", "value")
     return filtered.groupBy("user_id").applyInPandasWithState(
@@ -602,11 +652,14 @@ def write_inverted_index_sink(
     segments into the next base (additive union — no merge keys: a
     term's deltas are disjoint-by-batch and consolidate at read).
 
-    Exactly-once: batch re-delivery after a crash re-appends under the
-    same tag and is skipped; even a duplicated delta would collapse in
-    ``merge_postings`` (doc-id sets are distinct-unioned) except for
-    cf, which the tag protects. Returns the snapshot root — read with
-    ``read_inverted_index``."""
+    Exactly-once: EVERY batch — including the first — goes down the
+    tagged append path (the base is a one-time empty schema-bearing
+    commit), so re-delivery of any batch after a crash hits its tag
+    and is skipped. That tag is load-bearing for cf: doc-id sets
+    would collapse in ``merge_postings`` (distinct-unioned) but cf is
+    SUMMED, so an untagged first-batch write redelivered as a tagged
+    segment would double-count collection frequencies. Returns the
+    snapshot root — read with ``read_inverted_index``."""
     from firefly_vcut_spark.operators.text import postings_delta
     from firefly_vcut_spark.sources.snapshots import SnapshotStore
 
@@ -615,12 +668,14 @@ def write_inverted_index_sink(
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = postings_delta(batch_df)
-        if store.exists("postings"):
-            store.append_segment(
-                "postings", delta, tag=_sink_tag(checkpoint_dir, batch_id)
-            )
-        else:
-            store.write("postings", delta)
+        if not store.exists("postings"):
+            # zero-row base carries only the schema; idempotent to
+            # redo (a crash between this commit and the tagged append
+            # just rewrites an empty v2 — no counted rows at stake)
+            store.write("postings", delta.limit(0))
+        store.append_segment(
+            "postings", delta, tag=_sink_tag(checkpoint_dir, batch_id)
+        )
 
     q = (
         stream_docs.writeStream.foreachBatch(fold_batch)
