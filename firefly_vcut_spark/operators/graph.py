@@ -30,7 +30,7 @@ unrolled CTEs — same recipe that made the PCA power iteration
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PAGERANK_SCALE = 10**12
@@ -46,7 +46,18 @@ def cooccurrence_edges(
     """Undirected co-activity edges (u < v): distinct user pairs that
     share an hour bucket of the given event type, skipping buckets
     with more than ``max_bucket`` users (hot-key cap — keeps the
-    pair fan-out per bucket bounded at C(cap, 2))."""
+    pair fan-out per bucket bounded at C(cap, 2)).
+
+    Shape: the bucket-size prefilter is a streaming window count over
+    the hour partitioning (bounded state — a pathological hot hour is
+    dropped without ever buffering its user set), then the surviving
+    ≤ max_bucket users per bucket collect into a sorted basket whose
+    pairs explode MAP-SIDE (the agg_item_cooccurrence recipe: the
+    bucket is the natural blocking key, no self-join). Exchanges:
+    the (h, user) distinct, the h-keyed window (whose partitioning
+    the basket groupBy reuses), and the final pair distinct."""
+    from pyspark.sql import Window
+
     pu = (
         events.filter(F.col("event_type") == event_type)
         .select(
@@ -55,25 +66,24 @@ def cooccurrence_edges(
         )
         .distinct()
     )
-    keep = (
-        pu.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nh"))
-        .filter(
-            (F.col("nh") >= min_bucket) & (F.col("nh") <= max_bucket)
-        )
-        .select("h")
+    sized = pu.withColumn(
+        "nh", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter((F.col("nh") >= min_bucket) & (F.col("nh") <= max_bucket))
+    baskets = sized.groupBy("h").agg(
+        F.sort_array(F.collect_set("user_id")).alias("us")
     )
-    kpu = pu.join(keep, "h")
-    a, b = kpu.alias("a"), kpu.alias("b")
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("us"),
+            lambda x, i: F.transform(
+                F.slice(F.col("us"), i + 2, F.size(F.col("us"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
     )
 
@@ -159,7 +169,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
 
 def pagerank_quantized(
-    edges: DataFrame, iters: int = 5, scale: int = PAGERANK_SCALE
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """PageRank over the undirected graph in exact BIGINT arithmetic:
     ranks scaled to ``scale``, r ← base + (17 · Σ_{u~v} (r_u div
@@ -167,33 +180,114 @@ def pagerank_quantized(
     integer division, so ``iters`` rounds are deterministic under any
     partitioning — replayable as unrolled SQL CTEs.
 
-    Returns (node, deg, rank). The per-round shuffle is one join on
-    the edge source + one groupBy on the target; lineage is truncated
-    per round (localCheckpoint) exactly like the CC solver's rounds."""
-    # materialize the edge derivation ONCE: every round joins against
-    # `both` and `deg`, and without the checkpoint the (possibly
-    # expensive) upstream edge pipeline re-executes per round
-    edges = edges.localCheckpoint(eager=True)
-    deg = degrees(edges).localCheckpoint(eager=True)
+    Returns (node, deg, rank). Adaptive solver, the same size-gated
+    strategy as ``connected_components``: after materializing the
+    edge list once, its COUNT (a real statistic, not a guess) picks
+    the execution.
+
+    - ``<= local_threshold`` edges: collect the (long, long) pairs
+      and run the rounds as exact int64 numpy folds on the driver —
+      one job, zero iterative shuffles. 1M edges is ~16 MB of longs;
+      the distributed loop would pay a join + an agg exchange per
+      round (~10 scheduler round-trips) for the same answer. (NOT
+      the 100 TB path; the gate routes any big graph away from it.)
+    - otherwise: the (s, t, sdeg) adjacency is repartitioned on the
+      source key and cached columnar ONCE, and every round's join
+      consumes that partitioning (InMemoryTableScan preserves it), so
+      per round only the O(nodes) rank table moves — one exchange for
+      the target groupBy (plus whatever AQE does to re-key the small
+      rank side). iters is a fixed small constant, so the rounds stay
+      ONE linear DataFrame lineage — no per-round RDD checkpoint that
+      would demote the loop to row-format ExistingRDD scans and
+      forfeit the cached partitioning (the r4-flagged plan blemish).
+
+    Both solvers compute the identical fixpoint (cross-checked in
+    tests/test_graph.py)."""
+    # cache the upstream edge derivation ONCE: the size gate and every
+    # round read the adjacency, not the pipeline behind it. The gate
+    # and the local path's materialization FUSE into one action —
+    # take(threshold+1) either returns the whole (bounded ≤ ~16 MB)
+    # edge list, which IS the local solver's input, or proves the
+    # graph is gate-big with one extra row.
+    edges = edges.select("u", "v").persist()
+    head = edges.take(local_threshold + 1)
+    if len(head) <= local_threshold:
+        try:
+            return _pagerank_local_rows(
+                edges.sparkSession, head, iters, scale
+            )
+        finally:
+            edges.unpersist()
+    return _pagerank_distributed(edges, iters, scale)
+
+
+def _pagerank_local_rows(
+    spark: SparkSession, pairs: list, iters: int, scale: int
+) -> DataFrame:
+    """Driver numpy rounds for gate-small graphs — bit-identical to
+    the distributed fold (int64 floor division on non-negative
+    ranks)."""
+    import numpy as np
+
+    u = np.array([r[0] for r in pairs], dtype=np.int64)
+    v = np.array([r[1] for r in pairs], dtype=np.int64)
+    s = np.concatenate([u, v])  # both directions: undirected graph
+    t = np.concatenate([v, u])
+    nodes, s_idx = np.unique(s, return_inverse=True)
+    t_idx = np.searchsorted(nodes, t)  # targets ⊆ sources by symmetry
+    deg = np.bincount(s_idx, minlength=len(nodes)).astype(np.int64)
+    n = len(nodes)
+    base = (3 * scale // _DAMP_DEN) // n
+    pr = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = pr[s_idx] // deg[s_idx]
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, t_idx, contrib)  # exact int64 (bincount would float)
+        pr = base + (_DAMP_NUM * acc) // _DAMP_DEN
+    return spark.createDataFrame(
+        [
+            (int(nd), int(dg), int(r))
+            for nd, dg, r in zip(nodes.tolist(), deg.tolist(), pr.tolist())
+        ],
+        schema="node long, deg long, rank long",
+    )
+
+
+def _pagerank_distributed(
+    edges: DataFrame, iters: int, scale: int
+) -> DataFrame:
+    """Columnar join-agg rounds over a once-partitioned cached
+    adjacency — the at-scale path (see pagerank_quantized)."""
+    deg = degrees(edges)
     both = edges.select(
         F.col("u").alias("s"), F.col("v").alias("t")
     ).unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+    adj = (
+        both.join(
+            deg.withColumnRenamed("node", "s").withColumnRenamed(
+                "deg", "sdeg"
+            ),
+            "s",
+        )
+        .repartition("s")
+        .persist()
+    )
+    # materialize the cache BEFORE planning the rounds: an unfilled
+    # InMemoryRelation reports unknown partitioning (its child is a
+    # pending AdaptiveSparkPlan), so every round's join would plant an
+    # ENSURE_REQUIREMENTS re-exchange of the big side — the exact
+    # shuffle this cache exists to avoid. Once filled, the rounds see
+    # hashpartitioning(s) and only the rank side moves.
+    adj.count()
     n_nodes = deg.count()
     base = (3 * scale // _DAMP_DEN) // n_nodes
     ranks = deg.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("pr")
     )
-    src_deg = deg.withColumnRenamed("node", "s").withColumnRenamed(
-        "deg", "sdeg"
-    )
     for _ in range(iters):
-        contrib = (
-            both.join(ranks.withColumnRenamed("node", "s"), "s")
-            .join(src_deg, "s")
-            .select(
-                "t", F.expr("pr div sdeg").alias("c")
-            )
-        )
+        contrib = adj.join(
+            ranks.withColumnRenamed("node", "s"), "s"
+        ).select("t", F.expr("pr div sdeg").alias("c"))
         ranks = (
             contrib.groupBy("t")
             .agg(
@@ -205,7 +299,6 @@ def pagerank_quantized(
                 .alias("pr")
             )
             .withColumnRenamed("t", "node")
-            .localCheckpoint(eager=False)
         )
     return ranks.join(deg, "node").select(
         "node", "deg", F.col("pr").alias("rank")

@@ -82,3 +82,26 @@ def test_degrees_sum_is_twice_edges(spark):
     pairs = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)]
     deg = degrees(_edges_df(spark, pairs))
     assert deg.agg(F.sum("deg")).collect()[0][0] == 2 * len(pairs)
+
+
+def test_pagerank_local_equals_distributed(spark):
+    """The size-gated solvers compute the identical int64 fixpoint:
+    force each path on the same random graph and compare exact
+    ranks (the CC-solver cross-check discipline)."""
+    rng = random.Random(7)
+    pairs = {
+        (a, b)
+        for a, b in (
+            sorted(rng.sample(range(40), 2)) for _ in range(120)
+        )
+    }
+    g = _edges_df(spark, pairs)
+    local = {
+        (r["node"]): (r["deg"], r["rank"])
+        for r in pagerank_quantized(g, iters=5, local_threshold=10**9).collect()
+    }
+    dist = {
+        (r["node"]): (r["deg"], r["rank"])
+        for r in pagerank_quantized(g, iters=5, local_threshold=0).collect()
+    }
+    assert local == dist and len(local) > 0

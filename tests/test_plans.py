@@ -238,13 +238,37 @@ def test_semdedup_pairs_blocked_on_cell(spark, sf_dir):
     assert "cell" in plan
 
 
-def test_pagerank_rounds_are_checkpoint_truncated(spark, sf_dir):
-    """PageRank: lineage truncation means the executed plan of the
-    registered query contains the FINAL round's joins against
-    checkpointed RDD scans, not 5 rounds of re-derivation."""
+def test_pagerank_size_gate_and_distributed_plan(spark, sf_dir):
+    """PageRank: at test scale the size gate resolves the rounds
+    driver-side, so the registered query's plan is a local result
+    scan — no iterative join chain, no cartesian. The at-scale path
+    must keep the rounds COLUMNAR over the once-partitioned cached
+    adjacency (no per-round RDD checkpoint demoting to ExistingRDD
+    scans — the r4-flagged blemish): every round's join reads the
+    InMemoryTableScan and only the agg/rank side re-exchanges."""
     plan = _plan(spark, sf_dir, "agg_graph_pagerank")
-    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan  # gate took the local path
     assert "CartesianProduct" not in plan
+
+    from firefly_vcut_spark.operators.graph import pagerank_quantized
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 30) for i in range(30)] + [(0, i) for i in range(2, 15)],
+        ["u", "v"],
+    )
+    pr = pagerank_quantized(edges, iters=5, local_threshold=0)
+    dplan = pr._jdf.queryExecution().executedPlan().toString()
+    assert dplan.count("InMemoryTableScan") >= 5  # one per round
+    # the cached adjacency must never re-shuffle: no ENSURE exchange
+    # keyed on the source may sit directly above its cache scan
+    import re
+
+    assert not re.findall(
+        r"Exchange hashpartitioning\(s#\d+L.*ENSURE"
+        r"[\s\S]{0,200}?InMemoryTableScan",
+        dplan,
+    )
+    assert "CartesianProduct" not in dplan
 
 
 def test_cooccurrence_pairs_from_explode_counts_broadcast(spark, sf_dir):
