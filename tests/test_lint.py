@@ -58,3 +58,75 @@ def test_silent_on_tuned_registry_plans(spark, sf_dir):
     ):
         findings = lint_plan(QS[name].fn(spark, sf_dir))
         assert findings == [], (name, findings)
+
+
+# Registry-wide allowlist: every entry is a JUSTIFIED finding — a code
+# the named query is allowed to carry, with the reason it is not an
+# anti-pattern there. Anything not listed fails the sweep, so a new
+# query shipping a cartesian, a row-Python UDF, or an unexpected
+# unpushed filter breaks CI.
+#
+# Justification key:
+#   expr-filter  — the filter is an EXPRESSION over text/array/JSON
+#                  columns (get_json_object, tokenization size,
+#                  date_trunc of the join key); parquet cannot push
+#                  expression predicates, and the scan reads only the
+#                  referenced columns, so there is nothing to push.
+#   big-big SMJ  — both join sides are fact-derived at scale
+#                  (pair tables, full-outer merges, cluster splits);
+#                  broadcast would be wrong at 100 TB, SMJ is the
+#                  intended physical strategy.
+#   multi-stage  — the pipeline is genuinely k-stage (LSH chain,
+#                  prefix join, TF-IDF's two corpus passes, market
+#                  share's 6-table star): each exchange is a distinct
+#                  keyed agg/join the docstring's shuffle ledger
+#                  accounts for; folding further would change the
+#                  algorithm.
+_LINT_ALLOW: dict[str, set[str]] = {
+    "a6_insert_ignore": {"exchange-count"},  # multi-stage: anti-join + dedup + union
+    "agg_audience_overlap": {"exchange-count"},  # multi-stage: 3 per-type distinct aggs
+    "agg_cms_join_size_estimate": {"exchange-count"},  # multi-stage: 2 sketch builds + join
+    "agg_dq_expectations": {"exchange-count"},  # multi-stage: per-rule agg union
+    "agg_graph_triangles": {"exchange-count"},  # multi-stage: edges + orientation + wedge join
+    "agg_grouped_ols_by_segment": {"exchange-count"},  # multi-stage: per-segment moments + fit
+    "agg_incremental_mv_merge": {"sort-merge-join"},  # big-big SMJ: full-outer delta merge can't broadcast
+    "agg_item_cooccurrence": {"exchange-count"},  # multi-stage: baskets + pair agg + count joins
+    "agg_kmv_click_purchase_overlap": {"exchange-count"},  # multi-stage: 2 sketch builds + algebra
+    "corpus_centroid_assignment": {"unpushed-filter"},  # expr-filter: embedding array expressions
+    "corpus_cluster_safe_split": {"exchange-count", "sort-merge-join"},  # big-big SMJ on cluster id; CC chain is multi-stage
+    "corpus_dup_span_removal": {"unpushed-filter"},  # expr-filter: tokenization size predicate
+    "corpus_prepare_manifest": {"exchange-count"},  # multi-stage: dedup chain + split + stats
+    "corpus_semdedup": {"exchange-count", "sort-merge-join"},  # big-big SMJ: cell-blocked pair join; quantize+pair+rollup stages
+    "corpus_temperature_mixture": {"sort-merge-join"},  # big-big SMJ: per-source sampled union at scale
+    "dedup_allpairs_prefix": {"exchange-count", "unpushed-filter"},  # multi-stage by design (df + prefix + verify); expr-filter on token arrays
+    "dedup_lsh_then_verify": {"exchange-count", "sort-merge-join"},  # big-big SMJ: candidate-pair text join; LSH chain is multi-stage
+    "fjson_props_extract": {"unpushed-filter"},  # expr-filter: get_json_object derivation
+    "q8_market_share": {"exchange-count"},  # multi-stage: 6-table star + year rollup
+    "text_nb_langid_confusion": {"exchange-count"},  # multi-stage: train/apply/confusion passes
+    "text_tfidf_topterms": {"exchange-count"},  # multi-stage: df pass + tf pass + topk
+    "win_rolling_active_users": {"unpushed-filter"},  # expr-filter: date_trunc(ts) join key
+}
+
+
+def test_registry_wide_lint_sweep(spark, sf_dir):
+    """EVERY registry query's executed plan must lint clean modulo
+    the justified allowlist above — the r4 verdict's task 3: no new
+    query can ship a cartesian, row-Python UDF, unpushed filter, or
+    exchange explosion without either fixing it or writing down why
+    it is intended. Also fails when an allowlist entry goes stale
+    (the query stops producing the finding), so the list can only
+    shrink."""
+    unexpected: dict[str, list[str]] = {}
+    stale: dict[str, set[str]] = {}
+    for name, q in sorted(QS.items()):
+        findings = lint_plan(q.fn(spark, sf_dir))
+        codes = {f.split(":")[0] for f in findings}
+        allowed = _LINT_ALLOW.get(name, set())
+        extra = codes - allowed
+        if extra:
+            unexpected[name] = sorted(extra)
+        gone = allowed - codes
+        if gone:
+            stale[name] = gone
+    assert not unexpected, f"lint findings outside allowlist: {unexpected}"
+    assert not stale, f"stale allowlist entries (remove them): {stale}"
