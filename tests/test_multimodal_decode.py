@@ -123,10 +123,89 @@ def test_png_roundtrip_all_filters(ch):
 
 
 def test_codec_formats_still_guarded():
+    """The codec boundary after the r5 baseline-JPEG decoder: WebP,
+    progressive JPEG (SOF2), and truncated JPEG streams raise; junk
+    stays ValueError."""
     with pytest.raises(NotImplementedError):
-        decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+        decode_image_real(
+            b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 8
+        )
+    # progressive: SOI + minimal SOF2 marker
+    sof2 = b"\xff\xd8\xff\xc2" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError):
+        decode_image_real(sof2)
+    with pytest.raises(ValueError):
+        decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00\x04\x00\x00")  # no SOF/SOS
     with pytest.raises(ValueError):
         decode_image_real(b"garbage-bytes")
+
+
+def test_jpeg_baseline_roundtrip_within_quant_error():
+    """Real JPEG decode: a from-scratch baseline stream (image-derived
+    canonical Huffman tables, Annex K quant, 4:4:4) round-trips with
+    small error on smooth content — gradient MAE ~2 validates the
+    DCT/quant/Huffman math against the format, not just against our
+    own encoder's inverse; a flat field is near-exact."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import encode_jpeg_baseline
+
+    h, w = 40, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        np.stack(
+            [
+                xx * 255 / (w - 1),
+                yy * 255 / (h - 1),
+                (xx + yy) * 255 / (w + h - 2),
+            ],
+            axis=-1,
+        )
+        .round()
+        .astype(np.uint8)
+    )
+    got_w, got_h, ch, out = decode_image_real(
+        encode_jpeg_baseline(w, h, img.tobytes())
+    )
+    assert (got_w, got_h, ch) == (w, h, 3)
+    err = np.abs(
+        img.astype(int) - np.frombuffer(out, np.uint8).reshape(h, w, 3)
+    )
+    assert err.mean() < 4.0 and err.max() <= 20
+
+    flat = bytes([77, 128, 200]) * (16 * 16)
+    _, _, _, out2 = decode_image_real(encode_jpeg_baseline(16, 16, flat))
+    err2 = np.abs(
+        np.frombuffer(flat, np.uint8).astype(int)
+        - np.frombuffer(out2, np.uint8).astype(int)
+    )
+    assert err2.mean() < 3.0
+
+
+def test_jpeg_baseline_odd_dimensions_and_harsh_content():
+    """Non-multiple-of-8 dimensions exercise the edge-replication
+    padding; the synthetic sawtooth is JPEG's worst case, so only
+    bounded (not small) error is asserted — plus the exact container
+    dims must survive."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        synthetic_pixels,
+    )
+
+    for doc_id, w, h in [(3, 13, 9), (5, 8, 8), (11, 17, 25)]:
+        rgb = synthetic_pixels(doc_id, w, h)
+        got_w, got_h, ch, out = decode_image_real(
+            encode_jpeg_baseline(w, h, rgb)
+        )
+        assert (got_w, got_h, ch) == (w, h, 3)
+        assert len(out) == w * h * 3
+        err = np.abs(
+            np.frombuffer(rgb, np.uint8).astype(int)
+            - np.frombuffer(out, np.uint8).astype(int)
+        )
+        assert err.mean() < 40  # sawtooth quant error, bounded
 
 
 def test_decode_features_real_kernel(spark):

@@ -1,0 +1,203 @@
+"""Generate an sf1 dataset (10x sf0.1) for the empirical scale-up
+run (SF1.md): the driver ships sf{0.001,0.01,0.1} read-only, so the
+100x-scaling claims argued from plan shape need one locally-built
+order-of-magnitude step to measure against.
+
+Method — tile-and-offset, the dbgen discipline:
+
+* Relational tables are the sf0.1 rows replicated ``N_COPIES`` times
+  with per-copy key offsets (all FKs offset consistently), which
+  preserves every marginal distribution, join fan-out, and skew
+  profile EXACTLY while scaling cardinalities linearly. Dates stay in
+  range (density grows 10x, the TPC-H convention) except ``events.ts``,
+  which offsets by 30 days per copy so per-hour bucket densities (the
+  co-activity graph's blocking key) stay constant and the graph grows
+  linearly instead of collapsing into the hot-bucket cap.
+* ``documents`` are tiled with a deterministic per-copy word mutation
+  keyed on (copy, text-hash): length/vocab marginals and each copy's
+  internal dup groups survive (identical texts mutate identically),
+  while cross-copy pairs diverge enough to not read as near-dups —
+  a 10x corpus, not the same corpus 10 times.
+* ``embeddings`` are tiled with per-copy gaussian noise (sigma=0.06,
+  renormalized): label clusters keep their geometry (cross-copy
+  cosine ~0.81 stays below every near-dup threshold in the engine),
+  so IVF/ANN/semdedup see a genuinely 10x point set.
+
+Deterministic (fixed seeds). Output: ``.localdata/sf1/*.parquet``
+(gitignored). Usage: python tools/gen_sf1.py [n_copies]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata", "sf1")
+
+N_COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+# sf0.1 key cardinalities (verified against the parquet footers) —
+# the per-copy offsets that keep every FK aligned with its dimension
+OFF = {
+    "customer": 15_000,
+    "supplier": 1_000,
+    "part": 20_000,
+    "orders": 150_000,
+    "events": 100_000,
+    "documents": 5_000,
+    "embeddings": 2_000,
+    "users": 1_500,
+}
+
+
+def tile_relational(con: duckdb.DuckDBPyConnection) -> None:
+    con.execute(f"COPY (SELECT * FROM '{SRC}/region.parquet') TO '{DST}/region.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM '{SRC}/nation.parquet') TO '{DST}/nation.parquet' (FORMAT PARQUET)")
+    tiles = f"(SELECT CAST(range AS BIGINT) AS i FROM range({N_COPIES}))"
+    con.execute(
+        f"""COPY (SELECT c_custkey + i*{OFF['customer']} AS c_custkey,
+                    printf('Customer#%09d', c_custkey + i*{OFF['customer']}) AS c_name,
+                    c_nationkey, c_acctbal, c_mktsegment
+             FROM '{SRC}/customer.parquet', {tiles} ORDER BY c_custkey)
+           TO '{DST}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT s_suppkey + i*{OFF['supplier']} AS s_suppkey,
+                    printf('Supplier#%09d', s_suppkey + i*{OFF['supplier']}) AS s_name,
+                    s_nationkey, s_acctbal
+             FROM '{SRC}/supplier.parquet', {tiles} ORDER BY s_suppkey)
+           TO '{DST}/supplier.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT p_partkey + i*{OFF['part']} AS p_partkey,
+                    p_name, p_brand, p_type, p_size, p_retailprice
+             FROM '{SRC}/part.parquet', {tiles} ORDER BY p_partkey)
+           TO '{DST}/part.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT o_orderkey + i*{OFF['orders']} AS o_orderkey,
+                    o_custkey + i*{OFF['customer']} AS o_custkey,
+                    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+             FROM '{SRC}/orders.parquet', {tiles} ORDER BY o_orderkey)
+           TO '{DST}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT l_orderkey + i*{OFF['orders']} AS l_orderkey,
+                    l_partkey + i*{OFF['part']} AS l_partkey,
+                    l_suppkey + i*{OFF['supplier']} AS l_suppkey,
+                    l_linenumber, l_quantity, l_extendedprice, l_discount,
+                    l_tax, l_returnflag, l_linestatus, l_shipdate
+             FROM '{SRC}/lineitem.parquet', {tiles} ORDER BY l_orderkey, l_linenumber)
+           TO '{DST}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT event_id + i*{OFF['events']} AS event_id,
+                    ts + to_days(CAST(i*30 AS INTEGER)) AS ts,
+                    user_id + i*{OFF['users']} AS user_id,
+                    event_type, value, props
+             FROM '{SRC}/events.parquet', {tiles} ORDER BY ts, event_id)
+           TO '{DST}/events.parquet' (FORMAT PARQUET)"""
+    )
+
+
+def mutate_text(text: str, copy_i: int, vocab: list[str]) -> str:
+    """Deterministic word-level mutation keyed on (copy, text-hash):
+    identical texts map to identical mutations (dup groups survive
+    within a copy); different copies diverge (~35% of positions)."""
+    if copy_i == 0:
+        return text
+    seed = int.from_bytes(
+        hashlib.md5(f"{copy_i}:{text}".encode()).digest()[:8], "big"
+    )
+    rng = random.Random(seed)
+    words = text.split(" ")
+    for j in range(len(words)):
+        if rng.random() < 0.35:
+            words[j] = vocab[rng.randrange(len(vocab))]
+    return " ".join(words)
+
+
+def tile_documents(con: duckdb.DuckDBPyConnection) -> None:
+    rows = con.execute(
+        f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    vocab = sorted(
+        {w for _, t, _, _ in rows for w in t.split(" ") if w}
+    )
+    ids, texts, langs, sources, n_chars = [], [], [], [], []
+    for i in range(N_COPIES):
+        for doc_id, text, lang, source in rows:
+            t = mutate_text(text, i, vocab)
+            ids.append(doc_id + i * OFF["documents"])
+            texts.append(t)
+            langs.append(lang)
+            sources.append(source)
+            n_chars.append(len(t))
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{DST}/documents.parquet")
+
+
+def tile_embeddings(con: duckdb.DuckDBPyConnection) -> None:
+    rows = con.execute(
+        f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    base = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = np.array([r[2] for r in rows], dtype=np.int32)
+    vec_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    sigma = 0.06
+    out_ids, out_vecs, out_labels = [], [], []
+    for i in range(N_COPIES):
+        if i == 0:
+            vecs = base
+        else:
+            rng = np.random.default_rng(1234 + i)
+            noisy = base + sigma * rng.standard_normal(base.shape)
+            vecs = noisy / np.linalg.norm(noisy, axis=1, keepdims=True)
+        out_ids.append(vec_ids + i * OFF["embeddings"])
+        out_vecs.append(vecs.astype(np.float32))
+        out_labels.append(labels)
+    ids = np.concatenate(out_ids)
+    vecs = np.concatenate(out_vecs)
+    labs = np.concatenate(out_labels)
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labs, pa.int32()),
+        }
+    )
+    pq.write_table(table, f"{DST}/embeddings.parquet")
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    tile_relational(con)
+    tile_documents(con)
+    tile_embeddings(con)
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n}")
+
+
+if __name__ == "__main__":
+    main()
