@@ -1,11 +1,15 @@
 """Closed-form linear regression (OLS via normal equations) as a
 hash-checked distributed job: the moment matrix X^T X and X^T y
-accumulate as EXACT integer sums in one scan-shaped aggregate (the
-same reduce shape as operators/linalg.gram_matrix, at d=3 small
-enough for plain Column sums), the 3×3 system solves by exact-integer
+accumulate as EXACT DECIMAL(38,0) sums in one scan-shaped aggregate
+(decimal128 ≡ DuckDB's HUGEINT sum promotion; plain BIGINT sums were
+caught overflowing by the sf1 spot gate — per-row products fit int64,
+their sums do not at scale), the 3×3 system solves by exact-integer
 Cramer determinants (Python big-int on the driver ≡ HUGEINT in the
 oracle), and a second scan scores R² from floor-quantized
-predictions.
+predictions. Headroom note: the Cramer determinant terms grow as
+n·Σx²·Σx'² ≈ 5e27 at sf1 and ~5e36 at the 1000x mark — inside
+decimal128/HUGEINT, which is why the solve stays exact where a
+float path would have quietly lost the low bits long before.
 
 This is the third hash-checkable ML recipe in the repo (after the
 PCA matrix squaring and the Lloyd/IVF fit): iterative-free this time
@@ -114,16 +118,22 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = li.select(
         F.expr(_X1).alias("x1"), F.expr(_X2).alias("x2"), F.expr(_Y).alias("y")
     )
+    # moment sums accumulate in DECIMAL(38,0) (Spark decimal128 ≡
+    # DuckDB's HUGEINT sum promotion): per-row products fit BIGINT
+    # easily, but their SUMS crack int64 with scale — the sf1 gate
+    # caught sum((y-ŷ)²) overflowing at 6M rows, and sum(x1·y)
+    # (~3e15 at sf1) would follow around the 1000x mark
+    dec = lambda c: c.cast("decimal(38,0)")
     mom = enc.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x1").alias("s1"),
-        F.sum("x2").alias("s2"),
-        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
-        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
-        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(dec(F.col("x1"))).alias("s1"),
+        F.sum(dec(F.col("x2"))).alias("s2"),
+        F.sum(dec(F.col("x1") * F.col("x1"))).alias("s11"),
+        F.sum(dec(F.col("x1") * F.col("x2"))).alias("s12"),
+        F.sum(dec(F.col("x2") * F.col("x2"))).alias("s22"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x1") * F.col("y"))).alias("s1y"),
+        F.sum(dec(F.col("x2") * F.col("y"))).alias("s2y"),
     ).collect()[0]
     n, s1, s2 = int(mom["n"]), int(mom["s1"]), int(mom["s2"])
     s11, s12, s22 = int(mom["s11"]), int(mom["s12"]), int(mom["s22"])
@@ -146,6 +156,7 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("yhat"),
     )
+    dsq = lambda c: (c * c).cast("decimal(38,0)")
     return scored.agg(
         F.lit(n).cast("long").alias("n"),
         F.lit(b0).alias("beta0"),
@@ -153,12 +164,8 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(b2).alias("beta2"),
         F.round(
             F.lit(1.0)
-            - F.sum((F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat"))).cast(
-                "double"
-            )
-            / F.sum(
-                (F.col("y") - F.lit(ybar)) * (F.col("y") - F.lit(ybar))
-            ).cast("double"),
+            - F.sum(dsq(F.col("y") - F.col("yhat"))).cast("double")
+            / F.sum(dsq(F.col("y") - F.lit(ybar))).cast("double"),
             4,
         ).alias("r2"),
     )
@@ -249,16 +256,19 @@ def agg_grouped_ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_Y).alias("y"),
         )
     )
+    # DECIMAL(38,0) accumulation — same overflow headroom note as
+    # agg_ols_regression (the sf1 spot gate caught the int64 sums)
+    dec = lambda c: c.cast("decimal(38,0)")
     mom = enc.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x1").alias("s1"),
-        F.sum("x2").alias("s2"),
-        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
-        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
-        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(dec(F.col("x1"))).alias("s1"),
+        F.sum(dec(F.col("x2"))).alias("s2"),
+        F.sum(dec(F.col("x1") * F.col("x1"))).alias("s11"),
+        F.sum(dec(F.col("x1") * F.col("x2"))).alias("s12"),
+        F.sum(dec(F.col("x2") * F.col("x2"))).alias("s22"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x1") * F.col("y"))).alias("s1y"),
+        F.sum(dec(F.col("x2") * F.col("y"))).alias("s2y"),
     )
 
     def d(name: str):
@@ -288,7 +298,13 @@ def agg_grouped_ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta_col(0).alias("b0"),
         beta_col(1).alias("b1"),
         beta_col(2).alias("b2"),
-        F.expr("sy div n").alias("ybar"),
+        # exact floor division on the decimal sum: `div` would funnel
+        # through long (silent wraparound past 2^63), and a plain
+        # decimal divide rounds HALF_UP at the result scale — make
+        # the quotient an integer first, then division is exact
+        F.expr("CAST((sy - (sy % n)) / n AS DECIMAL(38,0))")
+        .cast("long")
+        .alias("ybar"),
     )
     scored = enc.join(F.broadcast(betas), "seg").select(
         "seg",
@@ -304,17 +320,14 @@ def agg_grouped_ols_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("yhat"),
         "ybar",
     )
+    dsq = lambda c: (c * c).cast("decimal(38,0)")
     return (
         scored.groupBy("seg", "n", "b0", "b1", "b2")
         .agg(
             F.round(
                 F.lit(1.0)
-                - F.sum(
-                    (F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat"))
-                ).cast("double")
-                / F.sum(
-                    (F.col("y") - F.col("ybar")) * (F.col("y") - F.col("ybar"))
-                ).cast("double"),
+                - F.sum(dsq(F.col("y") - F.col("yhat"))).cast("double")
+                / F.sum(dsq(F.col("y") - F.col("ybar"))).cast("double"),
                 4,
             ).alias("r2")
         )

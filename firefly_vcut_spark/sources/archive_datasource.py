@@ -60,13 +60,23 @@ def synthetic_page(mid: int, page: int, page_size: int, n_pages: int) -> list[di
 
 
 class _PageSpan(InputPartition):
-    def __init__(self, mid: int, first_page: int, last_page: int, page_size: int, n_pages: int, pubdate_after: int):
+    def __init__(
+        self,
+        mid: int,
+        first_page: int,
+        last_page: int,
+        page_size: int,
+        n_pages: int,
+        pubdate_after: int,
+        fetch_log_dir: str | None = None,
+    ):
         self.mid = mid
         self.first_page = first_page
         self.last_page = last_page
         self.page_size = page_size
         self.n_pages = n_pages
         self.pubdate_after = pubdate_after
+        self.fetch_log_dir = fetch_log_dir
 
 
 class ArchiveSeriesReader(DataSourceReader):
@@ -76,6 +86,11 @@ class ArchiveSeriesReader(DataSourceReader):
         self.page_size = int(options.get("page_size", 100))
         self.pages_per_partition = max(1, int(options.get("pages_per_partition", 1)))
         self.pubdate_after = int(options.get("pubdate_after", 0))
+        # fetch audit: when set, each page GET touches a marker file
+        # <dir>/<mid>_<page> from whichever worker process ran it —
+        # the observable a connector's request-count metric provides,
+        # used by tests to prove pruned spans never fetch
+        self.fetch_log_dir = options.get("fetch_log_dir") or None
 
     def partitions(self) -> Sequence[InputPartition]:
         spans = []
@@ -84,7 +99,13 @@ class ArchiveSeriesReader(DataSourceReader):
             last = min(first + self.pages_per_partition - 1, self.n_pages)
             spans.append(
                 _PageSpan(
-                    self.mid, first, last, self.page_size, self.n_pages, self.pubdate_after
+                    self.mid,
+                    first,
+                    last,
+                    self.page_size,
+                    self.n_pages,
+                    self.pubdate_after,
+                    self.fetch_log_dir,
                 )
             )
             first = last + 1
@@ -100,6 +121,16 @@ class ArchiveSeriesReader(DataSourceReader):
         if newest_pubdate <= partition.pubdate_after:
             return
         for page in range(partition.first_page, partition.last_page + 1):
+            if partition.fetch_log_dir:
+                import os
+
+                open(
+                    os.path.join(
+                        partition.fetch_log_dir,
+                        f"{partition.mid}_{page}",
+                    ),
+                    "w",
+                ).close()
             for row in synthetic_page(
                 partition.mid, page, partition.page_size, partition.n_pages
             ):

@@ -77,3 +77,68 @@ def test_watermark_beyond_feed_reads_nothing(ds):
     from firefly_vcut_spark.sources.archive_datasource import _EPOCH
 
     assert ds(pubdate_after=_EPOCH).count() == 0
+
+
+def test_hundred_span_partition_isolation_and_pruning(spark, tmp_path):
+    """Partition-scale behavior (r4 verdict task 7): 200 pages split
+    into 100 two-page spans. Asserts (a) Spark schedules exactly one
+    task per span and every page's rows surface in THAT span's task
+    (per-partition fetch isolation — no page is fetched or emitted by
+    a neighboring span), and (b) watermark pushdown prunes at span
+    granularity: with a cutoff inside page 16, exactly pages 1..16
+    are ever fetched (the audit log records each page GET from the
+    worker that ran it) and the other 184 pages see no request."""
+    import os
+
+    spark.dataSource.register(ArchiveSeriesDataSource)
+    n_pages, ps, ppp = 200, 20, 2
+
+    log1 = tmp_path / "fetch_full"
+    log1.mkdir()
+    df = (
+        spark.read.format("archive_series")
+        .option("mid", MID)
+        .option("n_pages", n_pages)
+        .option("page_size", ps)
+        .option("pages_per_partition", ppp)
+        .option("fetch_log_dir", str(log1))
+        .load()
+    )
+    rows = (
+        df.select(F.spark_partition_id().alias("pid"), "page")
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("page").alias("pmin"),
+            F.max("page").alias("pmax"),
+        )
+        .collect()
+    )
+    assert len(rows) == 100  # one task per span
+    for r in rows:
+        # span i covers exactly pages (2i+1, 2i+2), full page_size each
+        assert r["pmin"] == 2 * r["pid"] + 1
+        assert r["pmax"] == 2 * r["pid"] + 2
+        assert r["n"] == ppp * ps
+    assert len(os.listdir(log1)) == n_pages  # every page fetched once
+
+    # watermark cutoff at seq 317 -> rows 0..316, inside page 16
+    from firefly_vcut_spark.sources.archive_datasource import _EPOCH, _STEP
+
+    cutoff_seq = 317
+    log2 = tmp_path / "fetch_pruned"
+    log2.mkdir()
+    pruned = (
+        spark.read.format("archive_series")
+        .option("mid", MID)
+        .option("n_pages", n_pages)
+        .option("page_size", ps)
+        .option("pages_per_partition", ppp)
+        .option("pubdate_after", _EPOCH - cutoff_seq * _STEP)
+        .option("fetch_log_dir", str(log2))
+        .load()
+    )
+    assert pruned.count() == cutoff_seq
+    fetched = sorted(int(f.split("_")[1]) for f in os.listdir(log2))
+    last_needed_page = cutoff_seq // ps + 1  # page 16 holds seq 317
+    assert fetched == list(range(1, last_needed_page + 1))
