@@ -58,9 +58,29 @@ def main() -> None:
     # by Py4J/scheduler fixed cost, not plan shape. A real cluster
     # keeps AQE on everywhere (the session default); this is
     # bench-local latency tuning, not a semantic change.
+    # Scan-split sizing (r5): local SF tables are SINGLE parquet
+    # files, so the 128 MB default maxPartitionBytes hands e.g. sf1's
+    # 165 MB lineitem to TWO tasks and idles 30 cores on every scan
+    # stage. Target ~2 splits per core on the largest input file
+    # (measured knee at sf0.1 and sf1: q1 2.3x, q3 1.8x, ann 1.5x).
+    # A real cluster keeps the default: 100 TB arrives as thousands
+    # of >=128 MB files, so every core already has many splits — this
+    # is single-file-local repair, not a setting to ship.
+    try:
+        largest = max(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except (OSError, ValueError):
+        largest = 128 << 20
+    cores = spark.sparkContext.defaultParallelism
+    split_bytes = min(128 << 20, max(1 << 20, largest // (2 * cores)))
+
     def tune(name: str) -> None:
         latency = "latency" in qs[name].tags
         spark.conf.set("spark.sql.adaptive.enabled", "false" if latency else "true")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             "2"

@@ -27,6 +27,13 @@ def get_spark(app_name: str = "firefly_vcut_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Single-JVM local mode: every task is PROCESS_LOCAL, so delay
+        # scheduling's per-taskset locality wait is pure dead time —
+        # dropping it cuts the measured empty-job floor 0.137 s ->
+        # 0.094 s (SCALING.md §Latency floor). Cluster note: keep the
+        # default (or rack-tune) where HDFS/shuffle locality matters;
+        # short-stage-dominated clusters commonly zero it too.
+        .config("spark.locality.wait", "0")
     )
     return builder.getOrCreate()
 
