@@ -53,9 +53,13 @@ def cooccurrence_edges(
     dropped without ever buffering its user set), then the surviving
     ≤ max_bucket users per bucket collect into a sorted basket whose
     pairs explode MAP-SIDE (the agg_item_cooccurrence recipe: the
-    bucket is the natural blocking key, no self-join). Exchanges:
-    the (h, user) distinct, the h-keyed window (whose partitioning
-    the basket groupBy reuses), and the final pair distinct."""
+    bucket is the natural blocking key, no self-join). Exchanges: ONE
+    h-keyed shuffle feeds the whole per-bucket pipeline — hash
+    partitioning on h alone satisfies the (h, user) dedup's clustering
+    requirement (every (h, *) row co-locates), the h window, AND the
+    basket groupBy, so the event-derived stream moves once, not twice
+    (a `.distinct()` first would add its own (h, user) exchange and
+    re-shuffle for the window) — plus the final small pair distinct."""
     from pyspark.sql import Window
 
     pu = (
@@ -64,7 +68,8 @@ def cooccurrence_edges(
             F.date_trunc("hour", "ts").alias("h"),
             "user_id",
         )
-        .distinct()
+        .repartition("h")
+        .dropDuplicates(["h", "user_id"])
     )
     sized = pu.withColumn(
         "nh", F.count(F.lit(1)).over(Window.partitionBy("h"))

@@ -732,6 +732,78 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_lloyd_topk(e, e.filter(F.col("vec_id") % 50 == 0), k=5)
 
 
+@query(
+    "ann_ivf_recall",
+    sql=f"""
+    WITH ivf AS ({_ivf_lloyd_sql()}),
+    truth AS (
+        WITH q AS ({_ANN_Q}),
+        c AS (SELECT vec_id AS neighbor_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round(list_cosine_similarity(q.qv, c.cv), 4) AS cos_sim
+            FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT t.query_id, count(*) AS n_hits
+        FROM truth t JOIN ivf i
+          ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+        GROUP BY t.query_id
+    )
+    SELECT t.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 4) AS recall
+    FROM (SELECT DISTINCT query_id FROM truth) t
+    LEFT JOIN hits h USING (query_id)
+    """,
+    tags=("ann", "extension", "vector", "ml", "eval"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality-evaluation harness: per-query recall@5 of the IVF
+    path against the exact brute-force ground truth, in ONE plan —
+    the measurement a pipeline needs before swapping a quantized
+    index in for exact search at 100 TB. Both sides are the already
+    hash-checked deterministic pipelines (ivf_lloyd_topk /
+    brute_force_topk), so the recall numbers themselves are
+    oracle-replayable — no other ANN system exposes its recall as a
+    hash-checkable query. Scale shape: ground truth is only computed
+    for the (bounded, broadcast) query sample — the corpus-sized work
+    is the same two scans the component queries already do; the
+    per-query rollup shuffles O(queries · k) id pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    truth = brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    approx = ivf_lloyd_topk(e, q, k=5).select("query_id", "neighbor_id")
+    # both result sets are O(queries · k) — broadcast the probe side
+    # so the overlap never sort-merges
+    hits = (
+        truth.join(F.broadcast(approx), ["query_id", "neighbor_id"], "inner")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / 5, 4
+            ).alias("recall"),
+        )
+    )
+
+
 def _pq_adc_sql(
     m: int = 4,
     ks: int = 8,
@@ -1341,28 +1413,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "extension", "tfidf", "bench", "latency"),
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-3 terms per document. Term-stats plan: one shuffle
-    for (doc, term) counts; doc lengths derived from the SAME grouped
-    set (no second pass over text); document frequency is a term-keyed
-    aggregate of that set; N is a 1-row broadcast. Ranking on the
-    ROUNDED score with a term tiebreak keeps the hash engine-stable.
-    At 100 TB the dfreq side is a term dictionary — bounded by
-    vocabulary, broadcastable after a frequency cutoff."""
+    """TF-IDF top-3 terms per document. Term-stats plan: ONE doc-keyed
+    shuffle carries the whole per-document pipeline — hash partitioning
+    on doc_id alone satisfies the (doc, term) count's clustering
+    requirement (subset partitioning), the doc-length WINDOW sum over
+    the same grouped set (no join, no second pass over text), and the
+    final per-doc rank — so doc lengths never materialize as a join
+    side (an O(docs) relation that only bench-scale auto-broadcast
+    made look cheap; at 100 TB it would be a second fact-sized
+    shuffle). Document frequency is the one genuinely term-keyed
+    aggregate: a vocabulary-bounded dictionary, broadcast back; N is a
+    1-row broadcast. Ranking on the ROUNDED score with a term tiebreak
+    keeps the hash engine-stable."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     from firefly_vcut_spark.operators.dedup import normalized_text
+    from pyspark.sql import Window
 
-    toks = d.repartition(
-        spark.sparkContext.defaultParallelism
-    ).select(
+    toks = d.repartition("doc_id").select(
         "doc_id", F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_toks"))
+    tf = tf.withColumn(
+        "n_toks", F.sum("cnt").over(Window.partitionBy("doc_id"))
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(doclen, "doc_id")
-        .join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1374,8 +1451,6 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -92,6 +92,7 @@ _LINT_ALLOW: dict[str, set[str]] = {
     "agg_incremental_mv_merge": {"sort-merge-join"},  # big-big SMJ: full-outer delta merge can't broadcast
     "agg_item_cooccurrence": {"exchange-count"},  # multi-stage: baskets + pair agg + count joins
     "agg_kmv_click_purchase_overlap": {"exchange-count"},  # multi-stage: 2 sketch builds + algebra
+    "ann_ivf_recall": {"exchange-count"},  # eval harness: composes the full IVF + brute-force pipelines by design
     "corpus_centroid_assignment": {"unpushed-filter"},  # expr-filter: embedding array expressions
     "corpus_cluster_safe_split": {"exchange-count", "sort-merge-join"},  # big-big SMJ on cluster id; CC chain is multi-stage
     "corpus_dup_span_removal": {"unpushed-filter"},  # expr-filter: tokenization size predicate
@@ -103,7 +104,6 @@ _LINT_ALLOW: dict[str, set[str]] = {
     "fjson_props_extract": {"unpushed-filter"},  # expr-filter: get_json_object derivation
     "q8_market_share": {"exchange-count"},  # multi-stage: 6-table star + year rollup
     "text_nb_langid_confusion": {"exchange-count"},  # multi-stage: train/apply/confusion passes
-    "text_tfidf_topterms": {"exchange-count"},  # multi-stage: df pass + tf pass + topk
     "win_rolling_active_users": {"unpushed-filter"},  # expr-filter: date_trunc(ts) join key
 }
 
