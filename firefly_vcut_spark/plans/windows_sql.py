@@ -127,22 +127,14 @@ def w_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (8 h gap) per user via the built-in
-    session_window — state-merging windows on batch AND streaming; the
-    oracle derives identical sessions with gaps-and-islands."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "8 hours").alias("w"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            "n",
-            "total_value",
-        )
-    )
+    session_window — state-merging windows on batch AND streaming
+    (shared with streaming/incremental.session_event_rollup, whose
+    streaming half is drained across restarts in
+    tests/test_streaming_sketch.py); the oracle derives identical
+    sessions with gaps-and-islands."""
+    from firefly_vcut_spark.streaming.incremental import session_event_rollup
+
+    return session_event_rollup(load_table(spark, sf_dir, "events"))
 
 
 @query(

@@ -555,6 +555,41 @@ def write_kmv_sketch_sink(
     return store.path("sketch")
 
 
+def session_event_rollup(
+    events: DataFrame,
+    gap: str = "8 hours",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Per-user session windows via the built-in ``session_window`` —
+    the STATE-MERGING window: on a stream, each micro-batch's events
+    extend open sessions in the state store or merge two previously
+    separate sessions into one (the session key itself changes on
+    merge, which is why this needs the dedicated operator and not a
+    tumbling window). The event-time watermark bounds state: a session
+    whose close (last event + gap) falls behind the watermark is
+    finalized and evicted. Works identically on a batch DataFrame
+    (Catalyst rewrites it to the gaps-and-islands aggregation).
+
+    Output: (user_id, session_start, n, total_value) — the
+    ``w_session_windows`` registry query is this exact rollup on the
+    batch path; stream==batch across restarts is asserted in
+    tests/test_streaming_sketch.py."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 ZSCORE_STATE_SCHEMA = T.StructType(
     [T.StructField("hist", T.ArrayType(T.LongType()))]
 )

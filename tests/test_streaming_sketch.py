@@ -117,3 +117,63 @@ def test_streaming_zscore_equals_batch_across_restarts(spark, sf_dir, tmp_path):
         # batch emits round(z, 4): raw stream scores agree within the
         # rounding half-width
         assert abs(out_rows[k] - z) <= 5.01e-5, k
+
+
+def test_streaming_session_windows_equal_batch_across_restarts(
+    spark, sf_dir, tmp_path
+):
+    """Built-in session_window as a stream: three time-sliced file
+    arrivals with a query restart between each (same checkpoint), so
+    sessions spanning a slice boundary MUST be extended/merged from
+    the state store, not recomputed. The final complete-mode emission
+    must equal the batch registry query (which shares the exact same
+    rollup) — including merged sessions whose session_start was first
+    emitted differently in an earlier trigger."""
+    import os
+    import glob
+    import shutil
+
+    from firefly_vcut_spark.plans import all_queries
+    from firefly_vcut_spark.streaming.incremental import session_event_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.selectExpr(
+        "CAST(percentile(unix_micros(ts), 0.33) AS LONG)",
+        "CAST(percentile(unix_micros(ts), 0.66) AS LONG)",
+    ).collect()[0]
+    t1, t2 = row[0], row[1]
+    slices = [
+        ev.filter(F.unix_micros("ts") <= t1),
+        ev.filter((F.unix_micros("ts") > t1) & (F.unix_micros("ts") <= t2)),
+        ev.filter(F.unix_micros("ts") > t2),
+    ]
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    latest: list = []
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(tmp_path / f"slice{i}"))
+        for f in glob.glob(str(tmp_path / f"slice{i}") + "/*.parquet"):
+            shutil.copy(f, os.path.join(src, f"slice{i}.parquet"))
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+
+        def snap(batch_df, _bid):
+            latest.clear()
+            latest.extend(batch_df.collect())
+
+        q = (
+            session_event_rollup(stream)
+            .writeStream.foreachBatch(snap)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(map(tuple, latest))
+    batch = sorted(
+        map(tuple, all_queries()["w_session_windows"].fn(spark, sf_dir).collect())
+    )
+    assert got == batch
+    # sanity: slicing actually split sessions (state merging exercised)
+    assert len(slices) == 3 and all(s.count() > 0 for s in slices)
