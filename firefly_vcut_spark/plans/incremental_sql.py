@@ -98,6 +98,118 @@ def agg_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_incremental_join_mv",
+    sql="""
+    SELECT CAST(o.o_orderkey AS BIGINT) AS order_key,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+             AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= DATE '1994-01-01'
+      AND o.o_orderdate < DATE '1995-01-01'
+    GROUP BY o.o_orderkey
+    """,
+    tags=("agg", "join", "merge", "incremental", "extension"),
+)
+def agg_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view — the step
+    beyond agg_incremental_mv_merge's single-table state: the MV is
+    Agg(orders ⋈ lineitem), and BOTH base tables append. With the
+    bases split at a watermark into (old, Δ), the join distributes
+    over disjoint unions,
+
+        O ⋈ L = (O_old ⋈ L_old) ∪ (ΔO ⋈ L_old) ∪ (O_old ⋈ ΔL) ∪ (ΔO ⋈ ΔL),
+
+    so the refresh is the STORED state aggregate merged with the
+    aggregate of the three delta joins — never a re-join of history
+    with history. The ORACLE is the full recompute, so the driver's
+    hash match IS the state ⊕ delta ≡ batch proof (exact because the
+    merged statistics are counts and per-row-quantized BIGINT sums).
+
+    Scale: ΔO ⋈ L_old and O_old ⋈ ΔL are delta-sized probes of the big
+    side (index/bucket lookups on a cluster), ΔO ⋈ ΔL is tiny, and the
+    merge is a full-outer join on the MV key — nightly cost
+    O(|Δ| + |state|), never O(|O| · |L| history re-join). The orders
+    split key is o_orderdate and the lineitem split key l_shipdate:
+    the algebra needs only disjointness, not aligned watermarks, which
+    is exactly why ΔO ⋈ L_old (late-arriving fact vs old dimension-of-
+    the-day) must be one of the delta terms."""
+    year = (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date")) & (
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("date")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(year)
+        .select(F.col("o_orderkey").alias("order_key"), "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round("l_quantity").cast("long").alias("qty"),
+    )
+    o_wm = F.lit("1994-07-01").cast("date")
+    l_wm = F.lit("1994-09-01").cast("date")
+    o_old, o_new = o.filter(F.col("o_orderdate") <= o_wm), o.filter(
+        F.col("o_orderdate") > o_wm
+    )
+    l_old, l_new = li.filter(F.col("l_shipdate") <= l_wm), li.filter(
+        F.col("l_shipdate") > l_wm
+    )
+
+    def agg(ov: DataFrame, lv: DataFrame) -> DataFrame:
+        return (
+            ov.join(lv, "order_key")
+            .groupBy("order_key")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("pc").alias("pc"),
+                F.sum("qty").alias("qty"),
+            )
+        )
+
+    state = agg(o_old, l_old)
+    # the delta sides are delta-sized by construction — broadcast them
+    # so the nightly refresh probes the big side instead of
+    # re-shuffling it (the bootstrap state join and the final MV-key
+    # merge are the two justified big-big joins)
+    delta = (
+        agg(F.broadcast(o_new), l_old)
+        .unionByName(agg(o_old, F.broadcast(l_new)))
+        .unionByName(agg(F.broadcast(o_new), l_new))
+        .groupBy("order_key")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("pc").alias("pc"),
+            F.sum("qty").alias("qty"),
+        )
+    )
+    d = delta.select(
+        "order_key",
+        F.col("n").alias("dn"),
+        F.col("pc").alias("dpc"),
+        F.col("qty").alias("dqty"),
+    )
+    return (
+        state.join(d, "order_key", "full_outer")
+        .select(
+            "order_key",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_items"
+            ),
+            (F.coalesce("pc", F.lit(0)) + F.coalesce("dpc", F.lit(0))).alias(
+                "price_cents"
+            ),
+            (F.coalesce("qty", F.lit(0)) + F.coalesce("dqty", F.lit(0))).alias(
+                "total_qty"
+            ),
+        )
+    )
+
+
+@query(
     "agg_dq_expectations",
     sql="""
     SELECT 'orders.o_orderkey.not_null' AS rule,

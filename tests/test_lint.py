@@ -89,6 +89,7 @@ _LINT_ALLOW: dict[str, set[str]] = {
     "agg_dq_expectations": {"exchange-count"},  # multi-stage: per-rule agg union
     "agg_graph_triangles": {"exchange-count"},  # multi-stage: edges + orientation + wedge join
     "agg_grouped_ols_by_segment": {"exchange-count"},  # multi-stage: per-segment moments + fit
+    "agg_incremental_join_mv": {"exchange-count", "sort-merge-join"},  # big-big by design: bootstrap state join + full-outer MV-key merge; delta joins ARE broadcast
     "agg_incremental_mv_merge": {"sort-merge-join"},  # big-big SMJ: full-outer delta merge can't broadcast
     "agg_item_cooccurrence": {"exchange-count"},  # multi-stage: baskets + pair agg + count joins
     "agg_kmv_click_purchase_overlap": {"exchange-count"},  # multi-stage: 2 sketch builds + algebra
