@@ -206,14 +206,17 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81): a from-scratch codec so the codec-class
 # guard narrows to formats that genuinely need an external library
-# (progressive JPEG's spectral-selection passes, WebP's VP8, video).
-# The decoder handles any spec-conformant BASELINE stream: DQT (8/16
-# bit), canonical DHT, SOF0 with sampling factors up to 2x2 (chroma
-# upsampled by replication), DRI/RSTn restarts, 0xFF00 byte
-# unstuffing, Huffman + extend entropy decode, dequantize, de-zigzag,
-# orthonormal 2-D IDCT (numpy), YCbCr->RGB. The encoder emits
-# conformant 4:4:4 baseline streams with image-derived canonical
-# Huffman tables — the fixture generator for the decoder's tests.
+# (WebP's VP8, video; arithmetic-coded / hierarchical / lossless
+# JPEG). The decoder handles any spec-conformant Huffman DCT stream,
+# BASELINE (SOF0/1) or PROGRESSIVE (SOF2): DQT (8/16 bit), canonical
+# DHT, sampling factors up to 2x2 (chroma upsampled by replication),
+# DRI/RSTn restarts, 0xFF00 byte unstuffing, Huffman + extend entropy
+# decode — plus, for progressive, spectral-selection band scans,
+# successive-approximation refinement (correction bits) and AC EOB
+# runs per T.81 Annex G — dequantize, de-zigzag, orthonormal 2-D IDCT
+# (numpy), YCbCr->RGB. The encoders emit conformant 4:4:4 baseline
+# AND progressive streams with image-derived canonical Huffman tables
+# — the fixture generators for the decoder's tests.
 
 # scan position -> natural (row*8+col) block index
 _ZIGZAG = [
@@ -307,11 +310,10 @@ def _bit_size(v: int) -> int:
     return v.bit_length() if v > 0 else ((-v).bit_length() if v else 0)
 
 
-def encode_jpeg_baseline(w: int, h: int, rgb: bytes) -> bytes:
-    """RGB top-down rows → baseline sequential JFIF (SOF0, 4:4:4,
-    Annex K quant tables, image-derived canonical Huffman tables).
-    Lossy like any JPEG; the decoder round-trips it within quant
-    error. Fixture generator for ``_decode_jpeg``."""
+def _rgb_to_quantized_blocks(w: int, h: int, rgb: bytes):
+    """Shared encoder front half: RGB → per-component quantized DCT
+    blocks (natural order, Annex K tables, 4:4:4). Returns
+    (bw, bh, comp_blocks)."""
     import numpy as np
 
     px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
@@ -327,8 +329,6 @@ def encode_jpeg_baseline(w: int, h: int, rgb: bytes) -> bytes:
     T8 = _dct_matrix()
     qt_l = np.array(_QT_LUMA, dtype=np.float64).reshape(8, 8)
     qt_c = np.array(_QT_CHROMA, dtype=np.float64).reshape(8, 8)
-
-    # pass 1: quantized coefficients per component/block
     comp_blocks: list[list] = [[], [], []]
     for c in range(3):
         plane = ycc[c]
@@ -342,6 +342,16 @@ def encode_jpeg_baseline(w: int, h: int, rgb: bytes) -> bytes:
                 coef = T8 @ blk @ T8.T
                 q = np.round(coef / qt).astype(np.int32)
                 comp_blocks[c].append(q.reshape(64))
+    return bw, bh, comp_blocks
+
+
+def encode_jpeg_baseline(w: int, h: int, rgb: bytes) -> bytes:
+    """RGB top-down rows → baseline sequential JFIF (SOF0, 4:4:4,
+    Annex K quant tables, image-derived canonical Huffman tables).
+    Lossy like any JPEG; the decoder round-trips it within quant
+    error. Fixture generator for ``_decode_jpeg``."""
+
+    bw, bh, comp_blocks = _rgb_to_quantized_blocks(w, h, rgb)
 
     # one symbol generator drives BOTH the frequency pass and the
     # entropy pass, so the histogram the tables are built from is by
@@ -431,6 +441,244 @@ def encode_jpeg_baseline(w: int, h: int, rgb: bytes) -> bytes:
     out += b"\x00\x3f\x00"
     out += ecs
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
+    """RGB → PROGRESSIVE JFIF (SOF2, 4:4:4) exercising both
+    progressive mechanisms end to end: spectral selection (separate
+    DC and per-component AC scans) AND successive approximation (all
+    first passes at Al=1, then Ah=1→Al=0 refinement passes with
+    correction bits / EOB runs per T.81 G.1.2). Same Annex K quant
+    tables as the baseline encoder, so a progressive stream and a
+    baseline stream of the same image carry IDENTICAL coefficients —
+    the decoder equivalence test keys on that. Scan script:
+
+        1  DC  all comps   Ah=0 Al=1      (interleaved)
+        2-4  AC  comp c    Ss=1..63 Ah=0 Al=1   (one comp per scan,
+                                                 EOB-run coded)
+        5  DC refine       Ah=1 Al=0      (raw bits, no Huffman)
+        6-8  AC refine     Ss=1..63 Ah=1 Al=0   (correction bits)
+    """
+    bw, bh, comp_blocks = _rgb_to_quantized_blocks(w, h, rgb)
+    nblocks = bw * bh
+    # zigzag coefficient vectors per component/block
+    zz_all: list[list[list[int]]] = [
+        [[int(blk[_ZIGZAG[i]]) for i in range(64)] for blk in comp_blocks[c]]
+        for c in range(3)
+    ]
+
+    def _entropy(scan_fn, with_tables: bool):
+        """Run scan_fn twice: once counting symbol frequencies, once
+        emitting — returns (dht_bytes, ecs_bytes). scan_fn(emit) where
+        emit(sym, extra_bits: list[(value,length)]) codes one Huffman
+        symbol plus appended raw bits; emit(None, bits) appends raw
+        bits only (refinement correction bits)."""
+        freqs: dict[int, int] = {}
+
+        def count(sym, extra):
+            if sym is not None:
+                freqs[sym] = freqs.get(sym, 0) + 1
+
+        scan_fn(count)
+        if not with_tables:
+            bits = _BitWriter()
+
+            def emit_raw(sym, extra):
+                for v, ln in extra:
+                    bits.write(v, ln)
+
+            scan_fn(emit_raw)
+            return b"", bits.flush()
+        counts, symbols = _huffman_table_from_freqs(freqs or {0: 1})
+        codes = _canonical_codes(counts, symbols)
+        bits = _BitWriter()
+
+        def emit(sym, extra):
+            if sym is not None:
+                code, ln = codes[sym]
+                bits.write(code, ln)
+            for v, ln in extra:
+                bits.write(v, ln)
+
+        scan_fn(emit)
+        dht = b"\xff\xc4" + struct.pack(">H", 19 + len(symbols))
+        return dht, bits.flush(), counts, symbols
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, _QT_LUMA), (1, _QT_CHROMA)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt[_ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid in range(3):
+        out += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+
+    def _sos(comp_ids: list[int], tdc: list[int], tac: list[int], ss, se, ah, al):
+        seg = bytearray()
+        seg += struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for cid, td, ta in zip(comp_ids, tdc, tac):
+            seg += bytes([cid + 1, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + bytes(seg)
+
+    AL = 1
+
+    # --- scan 1: DC first pass, interleaved, Al=1, Huffman table 0 ---
+    def dc_first(emit):
+        prev = [0, 0, 0]
+        for bi in range(nblocks):
+            for c in range(3):
+                v = zz_all[c][bi][0] >> AL  # arithmetic shift per spec
+                diff = v - prev[c]
+                prev[c] = v
+                sz = _bit_size(diff)
+                emit(sz, [(diff if diff > 0 else diff + (1 << sz) - 1, sz)] if sz else [])
+
+    dht, ecs, counts, symbols = _entropy(dc_first, True)
+    out += dht + bytes([0x00]) + bytes(counts) + bytes(symbols)
+    out += _sos([0, 1, 2], [0, 0, 0], [0, 0, 0], 0, 0, 0, AL)
+    out += ecs
+
+    # --- scans 2-4: AC first pass per component, Al=1, EOB runs ---
+    def ac_first_for(c):
+        def scan(emit):
+            eobrun = [0]
+            pending: list = []  # (sym, extra) buffered while EOB run open
+
+            def flush_eob():
+                if eobrun[0]:
+                    n = eobrun[0]
+                    r = n.bit_length() - 1
+                    emit(r << 4, [(n - (1 << r), r)] if r else [])
+                    eobrun[0] = 0
+                for sym, extra in pending:
+                    emit(sym, extra)
+                pending.clear()
+
+            for bi in range(nblocks):
+                zz = zz_all[c][bi]
+                shifted = [
+                    (v >> AL) if v >= 0 else -((-v) >> AL) for v in zz
+                ]
+                last = max((k for k in range(1, 64) if shifted[k]), default=0)
+                if last == 0:
+                    eobrun[0] += 1
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last + 1):
+                    v = shifted[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        emit(0xF0, [])
+                        run -= 16
+                    sz = _bit_size(v)
+                    emit((run << 4) | sz, [(v if v > 0 else v + (1 << sz) - 1, sz)])
+                    run = 0
+                if last < 63:
+                    eobrun[0] += 1
+            flush_eob()
+
+        return scan
+
+    for c in range(3):
+        dht, ecs, counts, symbols = _entropy(ac_first_for(c), True)
+        out += dht + bytes([0x10]) + bytes(counts) + bytes(symbols)
+        out += _sos([c], [0], [0], 1, 63, 0, AL)
+        out += ecs
+
+    # --- scan 5: DC refinement, Ah=1 Al=0 — raw bits, no Huffman ---
+    def dc_refine(emit):
+        for bi in range(nblocks):
+            for c in range(3):
+                emit(None, [(zz_all[c][bi][0] & 1, 1)])
+
+    _dht, ecs = _entropy(dc_refine, False)
+    out += _sos([0, 1, 2], [0, 0, 0], [0, 0, 0], 0, 0, 1, 0)
+    out += ecs
+
+    # --- scans 6-8: AC refinement per component, Ah=1 Al=0 ---
+    def ac_refine_for(c):
+        def scan(emit):
+            eobrun = [0]
+            # correction bits owed for the open EOB run's blocks
+            eob_corr: list = []
+            pending: list = []
+
+            def flush_eob():
+                if eobrun[0]:
+                    n = eobrun[0]
+                    r = n.bit_length() - 1
+                    emit(r << 4, [(n - (1 << r), r)] + eob_corr)
+                    eobrun[0] = 0
+                    eob_corr.clear()
+                for sym, extra in pending:
+                    emit(sym, extra)
+                pending.clear()
+
+            for bi in range(nblocks):
+                zz = zz_all[c][bi]
+                # newly-significant at this pass: |v| >> 0 == 1 but was
+                # 0 at Al=1  ⇔  |v| == 1 ; history-nonzero ⇔ |v| >= 2
+                last_new = max(
+                    (k for k in range(1, 64) if abs(zz[k]) == 1), default=0
+                )
+                if last_new == 0:
+                    # no new coefficients: extend the EOB run, owing a
+                    # correction bit for every history-nonzero coeff
+                    eobrun[0] += 1
+                    for k in range(1, 64):
+                        if abs(zz[k]) >= 2:
+                            eob_corr.append((zz[k] & 1, 1))
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                corr: list = []
+                for k in range(1, last_new + 1):
+                    v = zz[k]
+                    if abs(v) >= 2:  # history-nonzero: correction bit
+                        corr.append((v & 1, 1))
+                        continue
+                    if v == 0:
+                        if run == 15:
+                            emit(0xF0, corr)
+                            corr = []
+                            run = 0
+                        else:
+                            run += 1
+                        continue
+                    # newly significant: |v| == 1
+                    emit((run << 4) | 1, [(1 if v > 0 else 0, 1)] + corr)
+                    corr = []
+                    run = 0
+                # a block whose last NEW coefficient sits at k=63 is
+                # fully coded by its symbols — no EOB for it (the
+                # decoder's band walk exits by k > Se, not by EOBn);
+                # otherwise the trailing region joins the EOB run,
+                # with its history coeffs' corrections owed to it
+                if last_new < 63:
+                    eobrun[0] += 1
+                    for k in range(last_new + 1, 64):
+                        if abs(zz[k]) >= 2:
+                            eob_corr.append((zz[k] & 1, 1))
+            flush_eob()
+
+        return scan
+
+    for c in range(3):
+        dht, ecs, counts, symbols = _entropy(ac_refine_for(c), True)
+        out += dht + bytes([0x10]) + bytes(counts) + bytes(symbols)
+        out += _sos([c], [0], [0], 1, 63, 1, 0)
+        out += ecs
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -551,10 +799,12 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                     ">BBB", seg, 6 + 3 * i
                 )
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive — dedicated path
+            return _decode_jpeg_progressive(blob)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}): progressive/"
-                "arithmetic/hierarchical streams need a full codec"
+                f"non-baseline JPEG (SOF{marker - 0xC0}): "
+                "arithmetic/hierarchical/lossless streams need a full codec"
             )
         elif marker == 0xC4:  # DHT
             off = 0
@@ -666,6 +916,286 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     b = y + 1.772 * cb
     rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)
     return w, h, 3, rgb.tobytes()
+
+
+def _parse_dht_into(seg: bytes, huff: dict) -> None:
+    off = 0
+    while off < len(seg):
+        tc_th = seg[off]
+        counts = list(seg[off + 1 : off + 17])
+        nsym = sum(counts)
+        symbols = list(seg[off + 17 : off + 17 + nsym])
+        table: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for l in range(1, 17):
+            for _ in range(counts[l - 1]):
+                table[(l, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        huff[(tc_th >> 4, tc_th & 0xF)] = table
+        off += 17 + nsym
+
+
+def _decode_jpeg_progressive(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Progressive JPEG (SOF2) → (w, h, 3, RGB). Full T.81 Annex G
+    Huffman-progressive support: multiple SOS scans accumulate into
+    per-component coefficient arrays — spectral selection (DC and
+    per-component AC band scans), successive approximation (first
+    passes at Al>0, refinement passes applying one correction bit per
+    already-significant coefficient), AC EOB runs, DRI/RSTn restarts.
+    One dequantize + IDCT at the end, then the same
+    upsample/YCbCr→RGB tail as the baseline path. The fixture
+    generator is ``encode_jpeg_progressive``; the equivalence test
+    keys on progressive and baseline streams of one image carrying
+    identical coefficients."""
+    import numpy as np
+
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int, int]] = []
+    w = h = 0
+    restart_interval = 0
+    coef: list = []  # per comp: np.int64 (blocks_y, blocks_x, 64) zigzag
+    saw_scan = False
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    pos = 2
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = blob[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", blob, pos + 2)[0]
+        seg = blob[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            off = 0
+            while off < len(seg):
+                prec, tid = seg[off] >> 4, seg[off] & 0xF
+                off += 1
+                if prec == 0:
+                    qt[tid] = list(seg[off : off + 64])
+                    off += 64
+                else:
+                    qt[tid] = [
+                        struct.unpack_from(">H", seg, off + 2 * i)[0]
+                        for i in range(64)
+                    ]
+                    off += 128
+        elif marker == 0xC4:
+            _parse_dht_into(seg, huff)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xC2:
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError("sampling factors beyond 2x2")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coef = [
+                np.zeros((mcus_y * cv, mcus_x * ch_, 64), dtype=np.int64)
+                for _cid, ch_, cv, _tq in comps
+            ]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan: list[tuple[int, int, int]] = []
+            for i in range(ns):
+                scan.append((seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            ecs_start = pos + 2 + ln
+            # delimit the entropy-coded segment: next non-RST marker
+            p = ecs_start
+            while p + 1 < len(blob):
+                if blob[p] == 0xFF and blob[p + 1] not in (0x00,) and not (
+                    0xD0 <= blob[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+            _decode_progressive_scan(
+                blob[ecs_start:p], comps, coef, huff, scan,
+                ss, se, ah, al, restart_interval,
+                hmax, vmax, mcus_x, mcus_y, w, h,
+            )
+            pos = p
+            saw_scan = True
+            continue
+        pos += 2 + ln
+    if not comps or not coef or not saw_scan:
+        raise ValueError("progressive JPEG missing SOF2/scan data")
+
+    T8 = _dct_matrix()
+    planes = []
+    for cix, (_cid, ch_, cv, tq) in enumerate(comps):
+        q = np.array(qt[tq], dtype=np.float64)
+        by_, bx_ = coef[cix].shape[:2]
+        plane = np.zeros((by_ * 8, bx_ * 8), dtype=np.float64)
+        deq = coef[cix].astype(np.float64) * q[None, None, :]
+        nat = np.zeros_like(deq)
+        for i in range(64):
+            nat[:, :, _ZIGZAG[i]] = deq[:, :, i]
+        for by in range(by_):
+            for bx in range(bx_):
+                blk = nat[by, bx].reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    T8.T @ blk @ T8 + 128.0
+                )
+        planes.append(plane)
+    full = []
+    for cix, (_cid, ch_, cv, _tq) in enumerate(comps):
+        p_ = planes[cix]
+        if ch_ < hmax or cv < vmax:
+            p_ = np.repeat(np.repeat(p_, vmax // cv, axis=0), hmax // ch_, axis=1)
+        full.append(p_[:h, :w])
+    if len(comps) == 1:
+        gray = np.clip(full[0], 0, 255).astype(np.uint8)
+        return w, h, 3, np.stack([gray] * 3, axis=-1).tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
+def _decode_progressive_scan(
+    data, comps, coef, huff, scan, ss, se, ah, al, restart_interval,
+    hmax, vmax, mcus_x, mcus_y, w, h,
+):
+    """Decode one progressive SOS's entropy data into ``coef``."""
+    reader = _BitReader(data)
+    cix_of = {cid: i for i, (cid, *_rest) in enumerate(comps)}
+    members = [(cix_of[cid], dc_t, ac_t) for cid, dc_t, ac_t in scan]
+    state = {"eobrun": 0}
+    pred = [0] * len(comps)
+
+    def dc_first(zz, cix, dc_t):
+        sym = _decode_huffman(reader, huff[(0, dc_t)])
+        pred[cix] += _extend(reader.read_bits(sym), sym)
+        zz[0] = pred[cix] << al
+
+    def dc_refine(zz):
+        if reader.read_bit():
+            zz[0] |= 1 << al
+
+    p1, m1 = 1 << al, -1 << al
+
+    def ac_first(zz, ac_t):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huffman(reader, huff[(1, ac_t)])
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            zz[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def _correct(zz, k):
+        if reader.read_bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else m1
+
+    def ac_refine(zz, ac_t):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_huffman(reader, huff[(1, ac_t)])
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) + (
+                            reader.read_bits(r) if r else 0
+                        )
+                        break
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        _correct(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    _correct(zz, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def do_block(cix, by, bx, dc_t, ac_t):
+        zz = coef[cix][by, bx]
+        if ss == 0:
+            if ah == 0:
+                dc_first(zz, cix, dc_t)
+            else:
+                dc_refine(zz)
+        else:
+            if ah == 0:
+                ac_first(zz, ac_t)
+            else:
+                ac_refine(zz, ac_t)
+
+    def restart():
+        reader.align_to_marker()
+        state["eobrun"] = 0
+        for i in range(len(pred)):
+            pred[i] = 0
+
+    unit = 0
+    if len(members) > 1:
+        # interleaved (DC scans): MCU order, sampling-factor blocks
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                unit += 1
+                for cix, dc_t, ac_t in members:
+                    _cid, ch_, cv, _tq = comps[cix]
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            do_block(cix, my * cv + by, mx * ch_ + bx, dc_t, ac_t)
+    else:
+        # non-interleaved: the component's OWN block raster (its true
+        # size, not the MCU-padded grid)
+        cix, dc_t, ac_t = members[0]
+        _cid, ch_, cv, _tq = comps[cix]
+        cbw = (-(-(w * ch_) // hmax) + 7) // 8
+        cbh = (-(-(h * cv) // vmax) + 7) // 8
+        for by in range(cbh):
+            for bx in range(cbw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    restart()
+                unit += 1
+                do_block(cix, by, bx, dc_t, ac_t)
 
 
 def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, int, bytes]:

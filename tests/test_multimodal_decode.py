@@ -123,16 +123,20 @@ def test_png_roundtrip_all_filters(ch):
 
 
 def test_codec_formats_still_guarded():
-    """The codec boundary after the r5 baseline-JPEG decoder: WebP,
-    progressive JPEG (SOF2), and truncated JPEG streams raise; junk
-    stays ValueError."""
+    """The codec boundary after the r5 progressive-JPEG decoder: WebP
+    and arithmetic-coded JPEG raise NotImplementedError; a progressive
+    stream with no scan data and junk stay ValueError."""
     with pytest.raises(NotImplementedError):
         decode_image_real(
             b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 8
         )
-    # progressive: SOI + minimal SOF2 marker
-    sof2 = b"\xff\xd8\xff\xc2" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    # arithmetic-coded sequential (SOF9) stays out of scope
+    sof9 = b"\xff\xd8\xff\xc9" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
     with pytest.raises(NotImplementedError):
+        decode_image_real(sof9)
+    # progressive frame header with no SOS/entropy data is malformed
+    sof2 = b"\xff\xd8\xff\xc2" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(ValueError):
         decode_image_real(sof2)
     with pytest.raises(ValueError):
         decode_image_real(b"\xff\xd8\xff\xe0" + b"\x00\x04\x00\x00")  # no SOF/SOS
@@ -360,3 +364,70 @@ def test_rvid_roundtrip_property():
         assert got == (w, h, fps, frames)
 
     roundtrip()
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The from-scratch PROGRESSIVE codec (SOF2: spectral selection +
+    successive approximation + AC EOB runs) must decode to pixels
+    IDENTICAL to the baseline stream of the same image: both encoders
+    share quant tables, so the coefficient sets are equal and any
+    pixel difference would be a scan-decode bug, not quant error."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.full((40, 56, 3), 128, np.uint8),                      # flat
+        rng.integers(0, 256, (64, 48, 3)).astype(np.uint8),       # noise
+        (np.indices((32, 32)).sum(0) % 2 * 255)
+        .astype(np.uint8)[..., None]
+        .repeat(3, -1),                                           # checker
+        np.where(rng.random((80, 80, 3)) < 0.01, 255, 0)
+        .astype(np.uint8),                                        # sparse
+    ]
+    x = np.linspace(0, 255, 37)[None, :, None]
+    y = np.linspace(0, 255, 21)[:, None, None]
+    cases.append(
+        np.clip(x * 0.5 + y * 0.4 + rng.integers(0, 40, (21, 37, 3)), 0, 255)
+        .astype(np.uint8)
+    )                                                             # gradient, odd dims
+    for img in cases:
+        h, w = img.shape[:2]
+        rgb = np.ascontiguousarray(img).tobytes()
+        assert decode_image_real(
+            encode_jpeg_progressive(w, h, rgb)
+        ) == decode_image_real(encode_jpeg_baseline(w, h, rgb)), (w, h)
+
+
+def test_jpeg_progressive_randomized_equivalence():
+    """Randomized sweep over sizes/content classes — every stream must
+    be coefficient-exact vs its baseline twin."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        w, h = int(r.integers(8, 90)), int(r.integers(8, 70))
+        kind = seed % 3
+        if kind == 0:
+            img = r.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        elif kind == 1:
+            img = np.where(
+                r.random((h, w, 3)) < 0.05,
+                r.integers(0, 256, (h, w, 3)),
+                100,
+            ).astype(np.uint8)
+        else:
+            img = (r.integers(0, 2, (h, w, 1)) * 255).astype(np.uint8).repeat(3, -1)
+        rgb = np.ascontiguousarray(img).tobytes()
+        assert decode_image_real(
+            encode_jpeg_progressive(w, h, rgb)
+        ) == decode_image_real(encode_jpeg_baseline(w, h, rgb)), (seed, w, h)
