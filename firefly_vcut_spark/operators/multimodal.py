@@ -287,6 +287,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.out)
 
+    def emit_restart(self, n: int) -> None:
+        """Byte-align (1-padding) and append RSTn — raw marker bytes,
+        exempt from stuffing by construction."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (n & 7))
+
 
 def _huffman_table_from_freqs(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
     """Build a valid canonical (counts-by-length, symbols) pair for
@@ -444,7 +453,9 @@ def encode_jpeg_baseline(w: int, h: int, rgb: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
+def encode_jpeg_progressive(
+    w: int, h: int, rgb: bytes, restart_interval: int = 0
+) -> bytes:
     """RGB → PROGRESSIVE JFIF (SOF2, 4:4:4) exercising both
     progressive mechanisms end to end: spectral selection (separate
     DC and per-component AC scans) AND successive approximation (all
@@ -459,6 +470,12 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
                                                  EOB-run coded)
         5  DC refine       Ah=1 Al=0      (raw bits, no Huffman)
         6-8  AC refine     Ss=1..63 Ah=1 Al=0   (correction bits)
+
+    With ``restart_interval`` > 0, a DRI segment is emitted and every
+    scan inserts byte-aligned RSTn markers each `ri` MCUs/blocks —
+    DC predictors reset and EOB runs flush at each boundary (the
+    count pass applies the same run-splitting so the Huffman tables
+    match the emitted symbol stream).
     """
     bw, bh, comp_blocks = _rgb_to_quantized_blocks(w, h, rgb)
     nblocks = bw * bh
@@ -470,17 +487,18 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
 
     def _entropy(scan_fn, with_tables: bool):
         """Run scan_fn twice: once counting symbol frequencies, once
-        emitting — returns (dht_bytes, ecs_bytes). scan_fn(emit) where
-        emit(sym, extra_bits: list[(value,length)]) codes one Huffman
-        symbol plus appended raw bits; emit(None, bits) appends raw
-        bits only (refinement correction bits)."""
+        emitting — returns (dht_bytes, ecs_bytes). scan_fn(emit, marker)
+        where emit(sym, extra_bits: list[(value,length)]) codes one
+        Huffman symbol plus appended raw bits (sym None → raw bits only,
+        for refinement corrections) and marker(n) inserts a byte-aligned
+        RSTn in the emit pass (no-op while counting)."""
         freqs: dict[int, int] = {}
 
         def count(sym, extra):
             if sym is not None:
                 freqs[sym] = freqs.get(sym, 0) + 1
 
-        scan_fn(count)
+        scan_fn(count, lambda n: None)
         if not with_tables:
             bits = _BitWriter()
 
@@ -488,7 +506,7 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
                 for v, ln in extra:
                     bits.write(v, ln)
 
-            scan_fn(emit_raw)
+            scan_fn(emit_raw, bits.emit_restart)
             return b"", bits.flush()
         counts, symbols = _huffman_table_from_freqs(freqs or {0: 1})
         codes = _canonical_codes(counts, symbols)
@@ -501,7 +519,7 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
             for v, ln in extra:
                 bits.write(v, ln)
 
-        scan_fn(emit)
+        scan_fn(emit, bits.emit_restart)
         dht = b"\xff\xc4" + struct.pack(">H", 19 + len(symbols))
         return dht, bits.flush(), counts, symbols
 
@@ -510,6 +528,8 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
     for tid, qt in ((0, _QT_LUMA), (1, _QT_CHROMA)):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
         out += bytes(qt[_ZIGZAG[i]] for i in range(64))
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     for cid in range(3):
         out += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
@@ -525,9 +545,14 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
     AL = 1
 
     # --- scan 1: DC first pass, interleaved, Al=1, Huffman table 0 ---
-    def dc_first(emit):
+    def dc_first(emit, marker):
         prev = [0, 0, 0]
+        rst = [0]
         for bi in range(nblocks):
+            if restart_interval and bi and bi % restart_interval == 0:
+                marker(rst[0])
+                rst[0] = (rst[0] + 1) & 7
+                prev[:] = [0, 0, 0]
             for c in range(3):
                 v = zz_all[c][bi][0] >> AL  # arithmetic shift per spec
                 diff = v - prev[c]
@@ -542,8 +567,9 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
 
     # --- scans 2-4: AC first pass per component, Al=1, EOB runs ---
     def ac_first_for(c):
-        def scan(emit):
+        def scan(emit, marker):
             eobrun = [0]
+            rst = [0]
             pending: list = []  # (sym, extra) buffered while EOB run open
 
             def flush_eob():
@@ -557,6 +583,10 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
                 pending.clear()
 
             for bi in range(nblocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    flush_eob()
+                    marker(rst[0])
+                    rst[0] = (rst[0] + 1) & 7
                 zz = zz_all[c][bi]
                 shifted = [
                     (v >> AL) if v >= 0 else -((-v) >> AL) for v in zz
@@ -593,8 +623,12 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
         out += ecs
 
     # --- scan 5: DC refinement, Ah=1 Al=0 — raw bits, no Huffman ---
-    def dc_refine(emit):
+    def dc_refine(emit, marker):
+        rst = [0]
         for bi in range(nblocks):
+            if restart_interval and bi and bi % restart_interval == 0:
+                marker(rst[0])
+                rst[0] = (rst[0] + 1) & 7
             for c in range(3):
                 emit(None, [(zz_all[c][bi][0] & 1, 1)])
 
@@ -604,8 +638,9 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
 
     # --- scans 6-8: AC refinement per component, Ah=1 Al=0 ---
     def ac_refine_for(c):
-        def scan(emit):
+        def scan(emit, marker):
             eobrun = [0]
+            rst = [0]
             # correction bits owed for the open EOB run's blocks
             eob_corr: list = []
             pending: list = []
@@ -622,6 +657,10 @@ def encode_jpeg_progressive(w: int, h: int, rgb: bytes) -> bytes:
                 pending.clear()
 
             for bi in range(nblocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    flush_eob()
+                    marker(rst[0])
+                    rst[0] = (rst[0] + 1) & 7
                 zz = zz_all[c][bi]
                 # newly-significant at this pass: |v| >> 0 == 1 but was
                 # 0 at Al=1  ⇔  |v| == 1 ; history-nonzero ⇔ |v| >= 2

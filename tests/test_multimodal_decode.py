@@ -431,3 +431,29 @@ def test_jpeg_progressive_randomized_equivalence():
         assert decode_image_real(
             encode_jpeg_progressive(w, h, rgb)
         ) == decode_image_real(encode_jpeg_baseline(w, h, rgb)), (seed, w, h)
+
+
+def test_jpeg_progressive_restart_markers():
+    """DRI/RSTn inside progressive scans: the decoder must resync at
+    every restart boundary (DC predictor reset, EOB-run flush, byte
+    realignment) in all four scan kinds — pixels stay identical to the
+    unrestarted and baseline streams for intervals that land mid-run,
+    every block, and off-phase."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    for seed in (0, 3):
+        r = np.random.default_rng(seed)
+        w, h = int(r.integers(16, 64)), int(r.integers(16, 48))
+        img = r.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        rgb = img.tobytes()
+        want = decode_image_real(encode_jpeg_baseline(w, h, rgb))
+        for ri in (1, 3, 7):
+            got = decode_image_real(
+                encode_jpeg_progressive(w, h, rgb, restart_interval=ri)
+            )
+            assert got == want, (seed, w, h, ri)
