@@ -354,11 +354,25 @@ def _rgb_to_quantized_blocks(w: int, h: int, rgb: bytes):
     return bw, bh, comp_blocks
 
 
-def encode_jpeg_baseline(w: int, h: int, rgb: bytes) -> bytes:
+def encode_jpeg_baseline(
+    w: int,
+    h: int,
+    rgb: bytes,
+    *,
+    restart_interval: int = 0,
+    interleave: bool = True,
+) -> bytes:
     """RGB top-down rows → baseline sequential JFIF (SOF0, 4:4:4,
     Annex K quant tables, image-derived canonical Huffman tables).
     Lossy like any JPEG; the decoder round-trips it within quant
-    error. Fixture generator for ``_decode_jpeg``."""
+    error. Fixture generator for ``_decode_jpeg``.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (DC predictors reset), exercising the
+    decoder's resync path. ``interleave=False`` emits one
+    non-interleaved SOS per component (a spec-legal multi-scan
+    baseline stream, T.81 A.2.2) instead of a single interleaved
+    scan."""
 
     bw, bh, comp_blocks = _rgb_to_quantized_blocks(w, h, rgb)
 
@@ -389,12 +403,30 @@ def encode_jpeg_baseline(w: int, h: int, rgb: bytes) -> bytes:
         if last_nz < 63:
             yield ("ac", 0x00, 0, 0)  # EOB
 
-    def _scan(emit):
-        """Walk blocks in interleaved MCU order (1x1 sampling: one
-        block per component) feeding each block's symbols to emit."""
+    # scan layout: list of scans, each a list of MCUs, each MCU a
+    # list of (component, block-index). 4:4:4 → interleaved MCUs hold
+    # one block per component; non-interleaved MCUs are single blocks.
+    if interleave:
+        scan_layout = [
+            ([0, 1, 2], [[(0, bi), (1, bi), (2, bi)] for bi in range(bw * bh)])
+        ]
+    else:
+        scan_layout = [
+            ([cix], [[(cix, bi)] for bi in range(bw * bh)])
+            for cix in range(3)
+        ]
+
+    def _walk(mcus, emit, on_restart=None):
+        """Feed one scan's symbols to emit in MCU order, resetting DC
+        predictors (and notifying on_restart) at restart intervals —
+        the same generator drives the frequency and entropy passes."""
         prev_dc = [0, 0, 0]
-        for bi in range(bw * bh):
-            for cix in range(3):
+        for mi, mcu in enumerate(mcus):
+            if restart_interval and mi and mi % restart_interval == 0:
+                prev_dc = [0, 0, 0]
+                if on_restart is not None:
+                    on_restart((mi // restart_interval - 1) & 7)
+            for cix, bi in mcu:
                 tix = 0 if cix == 0 else 1
                 blk = comp_blocks[cix][bi]
                 zz = [int(blk[_ZIGZAG[i]]) for i in range(64)]
@@ -412,24 +444,26 @@ def encode_jpeg_baseline(w: int, h: int, rgb: bytes) -> bytes:
         tbl = dc_freq[tix] if kind == "dc" else ac_freq[tix]
         tbl[s] = tbl.get(s, 0) + 1
 
-    _scan(_count)
+    for _comps_in_scan, mcus in scan_layout:
+        _walk(mcus, _count)
     dc_tables = [_huffman_table_from_freqs(f or {0: 1}) for f in dc_freq]
     ac_tables = [_huffman_table_from_freqs(f or {0: 1}) for f in ac_freq]
     dc_codes = [_canonical_codes(*t) for t in dc_tables]
     ac_codes = [_canonical_codes(*t) for t in ac_tables]
 
-    # pass 3: entropy-coded segment
-    bits = _BitWriter()
+    # pass 3: per-scan entropy-coded segments
+    def _encode_scan(mcus) -> bytes:
+        bits = _BitWriter()
 
-    def _emit(tix, sym):
-        kind, s, v, sz = sym
-        code, ln = (dc_codes if kind == "dc" else ac_codes)[tix][s]
-        bits.write(code, ln)
-        if sz:
-            bits.write(v if v > 0 else v + (1 << sz) - 1, sz)
+        def _emit(tix, sym):
+            kind, s, v, sz = sym
+            code, ln = (dc_codes if kind == "dc" else ac_codes)[tix][s]
+            bits.write(code, ln)
+            if sz:
+                bits.write(v if v > 0 else v + (1 << sz) - 1, sz)
 
-    _scan(_emit)
-    ecs = bits.flush()
+        _walk(mcus, _emit, on_restart=bits.emit_restart)
+        return bits.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -443,12 +477,17 @@ def encode_jpeg_baseline(w: int, h: int, rgb: bytes) -> bytes:
         for tid, (counts, symbols) in enumerate(tables):
             out += b"\xff\xc4" + struct.pack(">H", 19 + len(symbols))
             out += bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols)
-    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
-    for cid in range(3):
-        tid = 0 if cid == 0 else 1
-        out += bytes([cid + 1, (tid << 4) | tid])
-    out += b"\x00\x3f\x00"
-    out += ecs
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for comps_in_scan, mcus in scan_layout:
+        out += b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comps_in_scan), len(comps_in_scan)
+        )
+        for cix in comps_in_scan:
+            tid = 0 if cix == 0 else 1
+            out += bytes([cix + 1, (tid << 4) | tid])
+        out += b"\x00\x3f\x00"
+        out += _encode_scan(mcus)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -791,11 +830,129 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
 
 
+def _decode_baseline_block(reader, huff, dc_t, ac_t, prev_dc, cix) -> list[int]:
+    """Decode one baseline (full 0..63, DC+AC) block into a zigzag
+    coefficient list, updating the per-component DC predictor."""
+    zz = [0] * 64
+    sym = _decode_huffman(reader, huff[(0, dc_t)])
+    diff = _extend(reader.read_bits(sym), sym)
+    prev_dc[cix] += diff
+    zz[0] = prev_dc[cix]
+    i = 1
+    while i < 64:
+        rs = _decode_huffman(reader, huff[(1, ac_t)])
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            i += 16
+            continue
+        i += rs >> 4
+        if i > 63:
+            raise ValueError("AC index overflow")
+        size = rs & 0xF
+        zz[i] = _extend(reader.read_bits(size), size)
+        i += 1
+    return zz
+
+
+def _decode_baseline_scan(
+    data, comps, coef, huff, scan_comps, restart_interval,
+    hmax, vmax, mcus_x, mcus_y, w, h,
+):
+    """Decode one baseline SOS's entropy data into ``coef``.
+
+    Interleaved scans (ns > 1) walk MCUs; a single-component scan is
+    non-interleaved per T.81 A.2.2 — the MCU is one block and the walk
+    covers only that component's own ceil(samples/8) block grid (the
+    MCU-padding blocks outside it stay zero). Restart intervals count
+    MCUs, i.e. blocks in the non-interleaved case."""
+    comp_scan = []
+    for cid, dc_t, ac_t in scan_comps:
+        for cix, (cid2, ch_, cv, tq) in enumerate(comps):
+            if cid2 == cid:
+                comp_scan.append((cix, ch_, cv, dc_t, ac_t))
+    reader = _BitReader(data)
+    prev_dc = [0] * len(comps)
+    mcu_count = 0
+
+    def _maybe_restart():
+        nonlocal mcu_count
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            reader.align_to_marker()
+            for i in range(len(prev_dc)):
+                prev_dc[i] = 0
+        mcu_count += 1
+
+    if len(comp_scan) == 1:
+        cix, ch_, cv, dc_t, ac_t = comp_scan[0]
+        bw_c = (((w * ch_ + hmax - 1) // hmax) + 7) // 8
+        bh_c = (((h * cv + vmax - 1) // vmax) + 7) // 8
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                _maybe_restart()
+                coef[cix][by, bx, :] = _decode_baseline_block(
+                    reader, huff, dc_t, ac_t, prev_dc, cix
+                )
+        return
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            _maybe_restart()
+            for cix, ch_, cv, dc_t, ac_t in comp_scan:
+                for by in range(cv):
+                    for bx in range(ch_):
+                        coef[cix][my * cv + by, mx * ch_ + bx, :] = (
+                            _decode_baseline_block(
+                                reader, huff, dc_t, ac_t, prev_dc, cix
+                            )
+                        )
+
+
+def _idct_color_tail(comps, coef, qt, hmax, vmax, w, h) -> tuple[int, int, int, bytes]:
+    """Shared decoder back half: zigzag coefficient arrays →
+    dequantize, IDCT, chroma upsample, YCbCr→RGB (or gray→RGB)."""
+    import numpy as np
+
+    T8 = _dct_matrix()
+    planes = []
+    for cix, (_cid, ch_, cv, tq) in enumerate(comps):
+        q = np.array(qt[tq], dtype=np.float64)
+        by_, bx_ = coef[cix].shape[:2]
+        plane = np.zeros((by_ * 8, bx_ * 8), dtype=np.float64)
+        deq = coef[cix].astype(np.float64) * q[None, None, :]
+        nat = np.zeros_like(deq)
+        for i in range(64):
+            nat[:, :, _ZIGZAG[i]] = deq[:, :, i]
+        for by in range(by_):
+            for bx in range(bx_):
+                blk = nat[by, bx].reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    T8.T @ blk @ T8 + 128.0
+                )
+        planes.append(plane)
+    full = []
+    for cix, (_cid, ch_, cv, _tq) in enumerate(comps):
+        p_ = planes[cix]
+        if ch_ < hmax or cv < vmax:
+            p_ = np.repeat(np.repeat(p_, vmax // cv, axis=0), hmax // ch_, axis=1)
+        full.append(p_[:h, :w])
+    if len(comps) == 1:
+        gray = np.clip(full[0], 0, 255).astype(np.uint8)
+        return w, h, 3, np.stack([gray] * 3, axis=-1).tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
 def _decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Baseline sequential JPEG → (w, h, 3, RGB rows top-down).
-    Raises NotImplementedError for progressive (SOF2) / arithmetic /
-    hierarchical streams — those are the remaining codec-class
-    boundary."""
+    """Baseline/extended-sequential Huffman JPEG (SOF0/SOF1) →
+    (w, h, 3, RGB rows top-down). Handles multi-scan baseline streams
+    (one SOS per component, or any ns ≤ nc split) and DRI/RSTn
+    restarts; SOF2 routes to the progressive decoder. Raises
+    NotImplementedError for arithmetic / hierarchical / lossless
+    streams — the remaining codec-class boundary."""
     import numpy as np
 
     qt: dict[int, list[int]] = {}
@@ -803,16 +960,20 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, qt_id)
     w = h = 0
     restart_interval = 0
+    coef: list = []
+    saw_scan = False
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
     pos = 2
-    scan_comps: list[tuple[int, int, int]] = []
-    ecs_start = None
-    while pos + 4 <= len(blob):
+    while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("bad marker alignment")
         marker = blob[pos + 1]
         if marker == 0xD8:
             pos += 2
             continue
+        if marker == 0xD9:
+            break
         ln = struct.unpack_from(">H", blob, pos + 2)[0]
         seg = blob[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT
@@ -832,12 +993,22 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                     off += 128
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
             comps = []
             for i in range(nc):
-                cid, hv, tq = struct.unpack_from(
-                    ">BBB", seg, 6 + 3 * i
-                )
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError("sampling factors beyond 2x2")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            coef = [
+                np.zeros((mcus_y * cv, mcus_x * ch_, 64), dtype=np.int64)
+                for _cid, ch_, cv, _tq in comps
+            ]
         elif marker == 0xC2:  # SOF2: progressive — dedicated path
             return _decode_jpeg_progressive(blob)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -846,115 +1017,37 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 "arithmetic/hierarchical/lossless streams need a full codec"
             )
         elif marker == 0xC4:  # DHT
-            off = 0
-            while off < len(seg):
-                tc_th = seg[off]
-                counts = list(seg[off + 1 : off + 17])
-                nsym = sum(counts)
-                symbols = list(seg[off + 17 : off + 17 + nsym])
-                table: dict[tuple[int, int], int] = {}
-                code, k = 0, 0
-                for l in range(1, 17):
-                    for _ in range(counts[l - 1]):
-                        table[(l, code)] = symbols[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc_th >> 4, tc_th & 0xF)] = table
-                off += 17 + nsym
+            _parse_dht_into(seg, huff)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan_comps = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comps.append((cs, tables >> 4, tables & 0xF))
             ecs_start = pos + 2 + ln
-            break
-        pos += 2 + ln
-    if ecs_start is None or not comps:
-        raise ValueError("JPEG missing SOS/SOF")
-    if len(comps) not in (1, 3):
-        raise NotImplementedError(f"{len(comps)}-component JPEG")
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise NotImplementedError("sampling factors beyond 2x2")
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    T8 = _dct_matrix()
-    planes = []
-    for _cid, ch_, cv, _tq in comps:
-        planes.append(
-            np.zeros((mcus_y * cv * 8, mcus_x * ch_ * 8), dtype=np.float64)
-        )
-    comp_scan = []
-    for cid, dc_t, ac_t in scan_comps:
-        for cix, (cid2, ch_, cv, tq) in enumerate(comps):
-            if cid2 == cid:
-                comp_scan.append((cix, ch_, cv, tq, dc_t, ac_t))
-    reader = _BitReader(blob[ecs_start:])
-    prev_dc = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_to_marker()
-                prev_dc = [0] * len(comps)
-            mcu_count += 1
-            for cix, ch_, cv, tq, dc_t, ac_t in comp_scan:
-                for by in range(cv):
-                    for bx in range(ch_):
-                        zz = [0] * 64
-                        sym = _decode_huffman(reader, huff[(0, dc_t)])
-                        diff = _extend(reader.read_bits(sym), sym)
-                        prev_dc[cix] += diff
-                        zz[0] = prev_dc[cix]
-                        i = 1
-                        while i < 64:
-                            rs = _decode_huffman(reader, huff[(1, ac_t)])
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                i += 16
-                                continue
-                            i += rs >> 4
-                            if i > 63:
-                                raise ValueError("AC index overflow")
-                            size = rs & 0xF
-                            zz[i] = _extend(reader.read_bits(size), size)
-                            i += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        q = qt[tq]
-                        for i2 in range(64):
-                            blk[_ZIGZAG[i2]] = zz[i2] * q[i2]
-                        spatial = T8.T @ blk.reshape(8, 8) @ T8 + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch_ + bx) * 8
-                        planes[cix][y0 : y0 + 8, x0 : x0 + 8] = spatial
-
-    # upsample to full res and convert
-    full = []
-    for cix, (_cid, ch_, cv, _tq) in enumerate(comps):
-        p = planes[cix]
-        if ch_ < hmax or cv < vmax:
-            p = np.repeat(
-                np.repeat(p, vmax // cv, axis=0), hmax // ch_, axis=1
+            # delimit the entropy-coded segment: next non-RST marker
+            p = ecs_start
+            while p + 1 < len(blob):
+                if blob[p] == 0xFF and blob[p + 1] not in (0x00,) and not (
+                    0xD0 <= blob[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+            _decode_baseline_scan(
+                blob[ecs_start:p], comps, coef, huff, scan_comps,
+                restart_interval, hmax, vmax, mcus_x, mcus_y, w, h,
             )
-        full.append(p[:h, :w])
-    if len(comps) == 1:
-        y = np.clip(full[0], 0, 255)
-        gray = y.astype(np.uint8)
-        rgb = np.stack([gray] * 3, axis=-1)
-        return w, h, 3, rgb.tobytes()
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)
-    return w, h, 3, rgb.tobytes()
+            pos = p
+            saw_scan = True
+            continue
+        pos += 2 + ln
+    if not comps or not saw_scan:
+        raise ValueError("JPEG missing SOS/SOF")
+    return _idct_color_tail(comps, coef, qt, hmax, vmax, w, h)
 
 
 def _parse_dht_into(seg: bytes, huff: dict) -> None:
@@ -1074,39 +1167,7 @@ def _decode_jpeg_progressive(blob: bytes) -> tuple[int, int, int, bytes]:
         pos += 2 + ln
     if not comps or not coef or not saw_scan:
         raise ValueError("progressive JPEG missing SOF2/scan data")
-
-    T8 = _dct_matrix()
-    planes = []
-    for cix, (_cid, ch_, cv, tq) in enumerate(comps):
-        q = np.array(qt[tq], dtype=np.float64)
-        by_, bx_ = coef[cix].shape[:2]
-        plane = np.zeros((by_ * 8, bx_ * 8), dtype=np.float64)
-        deq = coef[cix].astype(np.float64) * q[None, None, :]
-        nat = np.zeros_like(deq)
-        for i in range(64):
-            nat[:, :, _ZIGZAG[i]] = deq[:, :, i]
-        for by in range(by_):
-            for bx in range(bx_):
-                blk = nat[by, bx].reshape(8, 8)
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    T8.T @ blk @ T8 + 128.0
-                )
-        planes.append(plane)
-    full = []
-    for cix, (_cid, ch_, cv, _tq) in enumerate(comps):
-        p_ = planes[cix]
-        if ch_ < hmax or cv < vmax:
-            p_ = np.repeat(np.repeat(p_, vmax // cv, axis=0), hmax // ch_, axis=1)
-        full.append(p_[:h, :w])
-    if len(comps) == 1:
-        gray = np.clip(full[0], 0, 255).astype(np.uint8)
-        return w, h, 3, np.stack([gray] * 3, axis=-1).tobytes()
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)
-    return w, h, 3, rgb.tobytes()
+    return _idct_color_tail(comps, coef, qt, hmax, vmax, w, h)
 
 
 def _decode_progressive_scan(

@@ -457,3 +457,66 @@ def test_jpeg_progressive_restart_markers():
                 encode_jpeg_progressive(w, h, rgb, restart_interval=ri)
             )
             assert got == want, (seed, w, h, ri)
+
+def test_jpeg_baseline_multi_scan_stream():
+    """A spec-legal MULTI-SCAN baseline stream (one non-interleaved
+    SOS per component, T.81 A.2.2) must decode to pixels identical to
+    the single interleaved scan of the same image — the coefficient
+    sets are equal by construction, so any difference is a scan-walk
+    bug (wrong raster, chroma left zero)."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import encode_jpeg_baseline
+
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        w, h = int(r.integers(8, 80)), int(r.integers(8, 60))
+        img = r.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        rgb = img.tobytes()
+        want = decode_image_real(encode_jpeg_baseline(w, h, rgb))
+        got = decode_image_real(
+            encode_jpeg_baseline(w, h, rgb, interleave=False)
+        )
+        assert got == want, (seed, w, h)
+
+
+def test_jpeg_baseline_restart_markers():
+    """DRI/RSTn in a BASELINE scan: decoder must byte-realign and
+    reset DC predictors at every restart boundary — intervals that
+    land mid-row, every MCU, and off-phase all reproduce the
+    unrestarted pixels exactly."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import encode_jpeg_baseline
+
+    for seed in (1, 4):
+        r = np.random.default_rng(seed)
+        w, h = int(r.integers(16, 64)), int(r.integers(16, 48))
+        img = r.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        rgb = img.tobytes()
+        want = decode_image_real(encode_jpeg_baseline(w, h, rgb))
+        for ri in (1, 3, 7):
+            got = decode_image_real(
+                encode_jpeg_baseline(w, h, rgb, restart_interval=ri)
+            )
+            assert got == want, (seed, w, h, ri)
+
+
+def test_jpeg_baseline_multi_scan_with_restarts():
+    """Combined path: per-component scans AND restart markers (restart
+    counts blocks in a non-interleaved scan) still pixel-match the
+    plain interleaved stream."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import encode_jpeg_baseline
+
+    r = np.random.default_rng(7)
+    w, h = 40, 33
+    img = r.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    rgb = img.tobytes()
+    want = decode_image_real(encode_jpeg_baseline(w, h, rgb))
+    for ri in (2, 5):
+        got = decode_image_real(
+            encode_jpeg_baseline(w, h, rgb, interleave=False, restart_interval=ri)
+        )
+        assert got == want, ri
