@@ -382,13 +382,15 @@ def weighted_sample_keys(
 
     (a1, b1), (a2, b2) = perm_coeffs(2 + 2 * seed)[2 * seed : 2 * seed + 2]
     g = (F.lit(a1) * id_col.cast("long") + F.lit(b1)) % F.lit(MINHASH_P)
-    # Guard weight ≤ 0 to a NULL key: Spark's sequence(1, w) with
-    # w < 1 yields a DESCENDING array (e.g. [1, 0] for w=0), which
-    # would hand zero-weight rows a valid — even competitive — key,
-    # while SQL engines whose range(1, w+1) is empty return NULL.
-    # Callers taking the k smallest keys must order NULLs last (or
-    # pre-clamp weights ≥ 1, as corpus_weighted_sample does): a NULL
-    # key means "zero tickets in the w_i/Σw draw", never a winner.
+    # Guard weight ≤ 0 to the sentinel MINHASH_P: Spark's
+    # sequence(1, w) with w < 1 yields a DESCENDING array (e.g.
+    # [1, 0] for w=0), which would hand zero-weight rows a valid —
+    # even competitive — key. Every real key is a residue mod
+    # MINHASH_P (< MINHASH_P), so the sentinel loses under ANY
+    # ordering — unlike a NULL key, which Spark's ASC default sorts
+    # FIRST, silently selecting zero-weight rows in a caller that
+    # forgot to order NULLs last. "Zero tickets in the w_i/Σw draw"
+    # must never win regardless of caller discipline.
     return F.when(
         weight_col.cast("long") >= 1,
         F.array_min(
@@ -402,4 +404,4 @@ def weighted_sample_keys(
                 ),
             )
         ),
-    )
+    ).otherwise(F.lit(MINHASH_P))

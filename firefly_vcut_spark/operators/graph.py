@@ -211,14 +211,15 @@ def pagerank_quantized(
     # cache the upstream edge derivation ONCE: the size gate and every
     # round read the adjacency, not the pipeline behind it. The gate
     # and the local path's materialization FUSE into one action —
-    # take(threshold+1) either returns the whole (bounded ≤ ~16 MB)
-    # edge list, which IS the local solver's input, or proves the
-    # graph is gate-big with one extra row.
+    # limit(threshold+1).toPandas() (Arrow: two int64 columns, ~16 MB
+    # at the 1M default — NOT driver Row objects) either returns the
+    # whole edge list, which IS the local solver's input, or proves
+    # the graph is gate-big with one extra row.
     edges = edges.select("u", "v").persist()
-    head = edges.take(local_threshold + 1)
+    head = edges.limit(local_threshold + 1).toPandas()
     if len(head) <= local_threshold:
         try:
-            return _pagerank_local_rows(
+            return _pagerank_local_frame(
                 edges.sparkSession, head, iters, scale
             )
         finally:
@@ -226,16 +227,16 @@ def pagerank_quantized(
     return _pagerank_distributed(edges, iters, scale)
 
 
-def _pagerank_local_rows(
-    spark: SparkSession, pairs: list, iters: int, scale: int
+def _pagerank_local_frame(
+    spark: SparkSession, pairs, iters: int, scale: int
 ) -> DataFrame:
     """Driver numpy rounds for gate-small graphs — bit-identical to
     the distributed fold (int64 floor division on non-negative
-    ranks)."""
+    ranks). ``pairs`` is the (u, v) pandas frame from the gate."""
     import numpy as np
 
-    u = np.array([r[0] for r in pairs], dtype=np.int64)
-    v = np.array([r[1] for r in pairs], dtype=np.int64)
+    u = pairs["u"].to_numpy(dtype=np.int64)
+    v = pairs["v"].to_numpy(dtype=np.int64)
     s = np.concatenate([u, v])  # both directions: undirected graph
     t = np.concatenate([v, u])
     nodes, s_idx = np.unique(s, return_inverse=True)
@@ -258,12 +259,24 @@ def _pagerank_local_rows(
     )
 
 
+# the distributed rounds' result is lazy, so its (adj, deg) caches
+# must outlive this call — a one-slot retirement queue bounds the
+# leak across repeated invocations to the latest graph's caches
+_LIVE_GRAPH_CACHES: list = []
+
+
+def _retire_graph_caches() -> None:
+    while _LIVE_GRAPH_CACHES:
+        _LIVE_GRAPH_CACHES.pop().unpersist()
+
+
 def _pagerank_distributed(
     edges: DataFrame, iters: int, scale: int
 ) -> DataFrame:
     """Columnar join-agg rounds over a once-partitioned cached
     adjacency — the at-scale path (see pagerank_quantized)."""
-    deg = degrees(edges)
+    _retire_graph_caches()
+    deg = degrees(edges).persist()
     both = edges.select(
         F.col("u").alias("s"), F.col("v").alias("t")
     ).unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
@@ -285,6 +298,11 @@ def _pagerank_distributed(
     # hashpartitioning(s) and only the rank side moves.
     adj.count()
     n_nodes = deg.count()
+    # adj and deg are filled: the gate-persisted edge list is no
+    # longer referenced by anything downstream — free it now; the two
+    # small caches retire on the NEXT distributed call
+    edges.unpersist()
+    _LIVE_GRAPH_CACHES.extend([adj, deg])
     base = (3 * scale // _DAMP_DEN) // n_nodes
     ranks = deg.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("pr")

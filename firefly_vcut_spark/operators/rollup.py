@@ -26,7 +26,14 @@ def daily_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact 1e-4 ticks: partial sums stay mergeable AND
+            # partition-order independent (double sums could flip the
+            # rounded 4th decimal between partitionings)
+            F.round(
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                / F.lit(10000.0),
+                4,
+            ).alias("total_value"),
         )
     )
 

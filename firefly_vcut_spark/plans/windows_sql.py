@@ -19,7 +19,7 @@ from firefly_vcut_spark.streaming.incremental import windowed_event_counts
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 4) AS total_value
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -72,7 +72,7 @@ def w_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rollup AS (
         SELECT strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)),
                         '%Y-%m-%d') AS day,
-               event_type, count(*) AS n, round(sum(value), 4) AS total_value
+               event_type, count(*) AS n, round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS total_value
         FROM events
         WHERE CAST(ts AS DATE) < DATE '2024-01-20'
         GROUP BY 1, 2
@@ -80,7 +80,7 @@ def w_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail AS (
         SELECT strftime(time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)),
                         '%Y-%m-%d') AS day,
-               event_type, count(*) AS n, round(sum(value), 4) AS total_value
+               event_type, count(*) AS n, round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS total_value
         FROM events
         WHERE CAST(ts AS DATE) >= DATE '2024-01-20'
         GROUP BY 1, 2
@@ -119,7 +119,7 @@ def w_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*) AS n,
-           round(sum(value), 4) AS total_value
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS total_value
     FROM numbered
     GROUP BY user_id, session_id
     """,

@@ -62,11 +62,17 @@ def windowed_event_counts(
     late-data-tolerant aggregation shape. Works identically on batch
     and streaming DataFrames."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    # quantized-BIGINT sum (see session_event_rollup): partition-order
+    # independent, so the rounded 4th decimal can't flip the oracle hash
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                / F.lit(10000.0),
+                4,
+            ).alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -575,11 +581,20 @@ def session_event_rollup(
     batch path; stream==batch across restarts is asserted in
     tests/test_streaming_sketch.py."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    # sum exact 1e-4 ticks, not doubles: a raw double SUM is
+    # order-dependent, so its 4th rounded decimal could flip with the
+    # partitioning (and break the oracle hash) — same quantized-BIGINT
+    # discipline as win_gapfill_daily, on both the batch and
+    # streaming halves (this one function is both)
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                / F.lit(10000.0),
+                4,
+            ).alias("total_value"),
         )
         .select(
             "user_id",

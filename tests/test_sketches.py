@@ -178,3 +178,27 @@ def test_bitmap_overlap_equals_join_based_overlap(spark, sf_dir):
         if r["type_a"] < r["type_b"] and r["n_both"] > 0
     }
     assert bm == jn and bm
+
+
+def test_weighted_sample_keys_zero_weight_never_wins(spark):
+    """Weight <= 0 rows get the MINHASH_P sentinel (>= every real
+    residue key), so they lose under Spark's ASC default NULLS FIRST
+    too — a caller that forgets to pre-clamp or order NULLs last
+    cannot silently select zero-ticket rows."""
+    from pyspark.sql import functions as F
+
+    from firefly_vcut_spark.operators.corpus import weighted_sample_keys
+    from firefly_vcut_spark.operators.dedup import MINHASH_P
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -3), (3, 5), (4, 1)], ["id", "w"]
+    ).select(
+        "id",
+        weighted_sample_keys(F.col("id"), F.col("w")).alias("k"),
+    )
+    rows = {r["id"]: r["k"] for r in df.collect()}
+    assert rows[1] == MINHASH_P and rows[2] == MINHASH_P
+    assert rows[3] < MINHASH_P and rows[4] < MINHASH_P
+    # the ASC-ordered draw can only pick positive-weight rows
+    picked = [r["id"] for r in df.orderBy(F.asc("k")).limit(2).collect()]
+    assert set(picked) == {3, 4}
