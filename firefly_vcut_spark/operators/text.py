@@ -291,3 +291,72 @@ def merge_postings(deltas: DataFrame) -> DataFrame:
         )
         .select("term", F.size("post").cast("long").alias("df"), "cf", "post")
     )
+
+
+def dsir_importance_scores(
+    docs: DataFrame, target_filter: Column, n_buckets: int = 64
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23): hashed
+    word uni+bigram bag-of-ngrams models fit on a target slice vs the
+    raw corpus, each doc weighted by its feature log-likelihood ratio
+    log p_target(x) − log p_raw(x) = Σ_g λ[h(g)].
+
+    Engine shape (all hash-replayable, no RNG):
+    - ONE explode produces (doc_id, is_target, bucket) with bucket =
+      charfold(gram) mod n_buckets — a pure map-side projection.
+    - Both models fall out of ONE n_buckets-row aggregate (count
+      raw / count_if target); λ is derived in-plan and BROADCAST back
+      (n_buckets rows), exactly the char_lm_scores fit-join shape.
+    - Per-bucket log-ratios are quantized to integer micro-nats, so
+      the per-doc sum is an INTEGER aggregation — partial-agg order
+      can never flip the rounded weight.
+
+    Deterministic-selection note: the paper resamples with Gumbel
+    noise; callers here take top-k by weight with doc_id tie-break so
+    the draw itself is oracle-replayable.
+
+    Returns (doc_id, n_grams, w_micro) — total weight in micro-nats.
+    The gram explode is evaluated twice (model fit + scoring), both
+    scan-shaped; at 100 TB the model side would fit on a sample, the
+    λ table stays n_buckets rows either way."""
+    from firefly_vcut_spark.operators.dedup import charfold_hash
+
+    toks = tokens(F.col("text"))
+    grams = F.concat(toks, word_ngrams(toks, 2))
+    bucketed = docs.select(
+        "doc_id",
+        target_filter.alias("is_target"),
+        F.explode(grams).alias("g"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (charfold_hash(F.col("g")) % n_buckets).alias("hb"),
+    )
+    model = bucketed.groupBy("hb").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.count_if(F.col("is_target")).alias("t"),
+    )
+    totals = model.agg(
+        F.sum("r").cast("long").alias("tr"), F.sum("t").cast("long").alias("tt")
+    )
+    lam_df = model.crossJoin(totals).select(
+        "hb",
+        F.round(
+            F.log(
+                ((F.col("t") + F.lit(1.0)) / (F.col("tt") + F.lit(n_buckets)))
+                * ((F.col("tr") + F.lit(float(n_buckets))) / (F.col("r") + F.lit(1.0)))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lam"),
+    )
+    return (
+        bucketed.join(F.broadcast(lam_df), "hb")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("lam").cast("long").alias("w_micro"),
+        )
+    )
