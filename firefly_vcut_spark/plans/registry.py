@@ -97,6 +97,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.affinity_sql  # noqa: F401
     import firefly_vcut_spark.plans.dsir_sql  # noqa: F401
     import firefly_vcut_spark.plans.er_sql  # noqa: F401
+    import firefly_vcut_spark.plans.bpe_sql  # noqa: F401
 
 
 # Registry-order insurance (VERDICT r1 item 8): the driver records the
