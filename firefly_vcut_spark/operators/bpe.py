@@ -136,3 +136,36 @@ def vocab_stats(
             F.countDistinct("word").cast("long").alias("n_words"),
         )
     )
+
+
+def encode_piece_counts(
+    docs: DataFrame, words: DataFrame, merges: list[dict]
+) -> DataFrame:
+    """Apply the learned merge table corpus-wide: per-doc whitespace
+    token and BPE piece counts — the tokens-per-document statistic a
+    training pipeline shards and budgets by.
+
+    Scale: the per-WORD piece count is computed once on the vocab-
+    bounded word table (chained literal replaces, pure projection)
+    and BROADCAST; the corpus side is one explode + broadcast join +
+    doc-keyed aggregate. Text never shuffles — only (word, n_pieces)
+    and (doc_id, counts)."""
+    from firefly_vcut_spark.operators.text import tokens
+
+    rep = merged_rep(
+        initial_rep(F.col("word")), [(m["a"], m["b"]) for m in merges]
+    )
+    word_pieces = words.select(
+        "word", F.size(F.split(F.trim(rep), "  ")).cast("long").alias("n_pieces")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(F.broadcast(word_pieces), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+    )

@@ -120,6 +120,44 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _encode_sql(v: int) -> str:
+    return f"""
+    WITH {_rounds_cte(v)},
+    wp AS (
+        SELECT word,
+               CAST(len(string_split(trim(rep), '  ')) AS BIGINT) AS n_pieces
+        FROM r{v}
+    ),
+    toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(wp.n_pieces) AS BIGINT) AS n_pieces
+    FROM toks t JOIN wp USING (word)
+    WHERE t.word != ''
+    GROUP BY t.doc_id
+    """
+
+
+@query(
+    "text_bpe_encode_docs",
+    sql=_encode_sql(_V),
+    tags=("text", "extension", "tokenizer"),
+)
+def text_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide encode with the learned merges: per-doc whitespace
+    token vs BPE piece counts — the budget statistic sharding and
+    sequence packing run on. Word piece-lengths come off the vocab-
+    bounded table and broadcast; the corpus side is one explode +
+    broadcast join + doc aggregate (text never shuffles)."""
+    from firefly_vcut_spark.operators.bpe import encode_piece_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    words, merges = _trained(spark, sf_dir)
+    return encode_piece_counts(docs, words, merges)
+
+
 @query(
     "text_bpe_vocab_stats",
     sql=_vocab_sql(_V),
