@@ -1301,10 +1301,11 @@ def _decode_progressive_scan(
 def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, int, bytes]:
     """Real decode: sniff the container by magic bytes and recover
     actual pixels → (width, height, channels, pixel bytes — rows
-    top-down). BMP/PPM/PNG/baseline-JPEG decode with stdlib + numpy
-    alone; the remaining codec-class boundary is progressive JPEG,
-    WebP (VP8), and video, which raise NotImplementedError — the
-    declared swap-in point for a PIL/ffmpeg kernel."""
+    top-down). BMP/PPM/PNG/JPEG (baseline incl. multi-scan and
+    restarts, progressive)/GIF decode with stdlib + numpy alone; the
+    remaining codec-class boundary is WebP (VP8) and inter-coded
+    video, which raise NotImplementedError — the declared swap-in
+    point for a PIL/ffmpeg kernel."""
     if blob[:8] == _PNG_SIG:
         return _decode_png(blob)
     if blob[:2] == b"BM":
@@ -1313,6 +1314,8 @@ def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, in
         return _decode_ppm(blob)
     if blob[:3] == b"\xff\xd8\xff":
         return _decode_jpeg(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(blob)
     if blob[8:12] == b"WEBP":
         raise NotImplementedError(
             "WebP (VP8 entropy coding) needs an image codec not present "
@@ -1682,3 +1685,295 @@ def sample_frames(multimodal: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return multimodal.select("doc_id", "blob").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) — from-scratch codec: variable-width LSB-first LZW with
+# clear/end codes and 12-bit cap, interlace, local/global palettes,
+# first-frame composition onto the logical screen. The encoder is a
+# real compressing LZW (dict hits, width growth, clear-on-full) that
+# SIMULATES the decoder's width schedule, so both sides are provably
+# in lockstep; the decoder is additionally pinned by hand-packed
+# code-stream fixtures in tests/test_multimodal_decode.py.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR resets the table
+    and width, width grows when the table reaches 1<<width (cap 12),
+    the c == next_code self-reference case per spec."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while len(out) < expect:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out[:expect])
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        c = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if c == end:
+            break
+        if c == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if c in table:
+            entry = table[c]
+        elif c == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {c}")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+        out += entry
+    return bytes(out[:expect])
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Compressing GIF LZW. Width bookkeeping runs a SIMULATION of the
+    decoder (dec_adds lags the encoder's dict adds by one code — the
+    classic off-by-one), so every emitted code uses exactly the width
+    the decoder will read it with. CLEAR is emitted when the table
+    fills (both sides reset)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return (
+            {bytes([i]): i for i in range(clear)},  # dict
+            end + 1,  # encoder next_code
+            min_code_size + 1,  # decoder-visible width
+            end + 1,  # decoder next_code (lags by one emitted code)
+            0,  # codes emitted since clear
+        )
+
+    table, next_code, width, dec_next, emitted = fresh()
+
+    def emit(code: int) -> None:
+        nonlocal width, dec_next, emitted
+        put(code, width)
+        emitted += 1
+        # the decoder adds an entry after every non-first code and
+        # widens when ITS table hits 1<<width — mirror that schedule
+        if emitted >= 2 and dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    put(clear, width)
+    buf = b""
+    for px in indices:
+        nxt = buf + bytes([px])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:
+            put(clear, width)
+            table, next_code, width, dec_next, emitted = fresh()
+        buf = nxt[-1:]
+    if buf:
+        emit(table[buf])
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace (start, step)
+
+
+def _interlace_order(h: int) -> list[int]:
+    rows = []
+    for start, step in _GIF_PASSES:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def _decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
+    """GIF87a/89a first frame → (w, h, 3, RGB rows top-down): frame
+    composited at (left, top) on the logical screen filled with the
+    background color; transparent pixels keep the background."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, flags, bg_idx, _aspect = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    transparent = None
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = blob[pos]
+            pos += 1
+            while True:
+                sz = blob[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if label == 0xF9 and sz == 4 and blob[pos] & 1:
+                    transparent = blob[pos + 3]
+                pos += sz
+            continue
+        if b0 == 0x2C:  # image descriptor — decode the FIRST frame
+            left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", blob, pos)
+            pos += 9
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = blob[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                sz = blob[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                data += blob[pos : pos + sz]
+                pos += sz
+            idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+            if iflags & 0x40:  # interlaced: rows arrive in pass order
+                rows = bytearray(iw * ih)
+                for src_i, dst_row in enumerate(_interlace_order(ih)):
+                    rows[dst_row * iw : (dst_row + 1) * iw] = idx[
+                        src_i * iw : (src_i + 1) * iw
+                    ]
+                idx = bytes(rows)
+            n_colors = len(ct) // 3
+            bg = (
+                ct[3 * bg_idx : 3 * bg_idx + 3]
+                if gct is not None and bg_idx < len(gct) // 3
+                else b"\x00\x00\x00"
+            )
+            canvas = bytearray(bg * (w * h))
+            for fy in range(ih):
+                y = top + fy
+                if y >= h:
+                    continue
+                for fx in range(iw):
+                    x = left + fx
+                    if x >= w:
+                        continue
+                    ci = idx[fy * iw + fx]
+                    if ci == transparent or ci >= n_colors:
+                        continue
+                    canvas[3 * (y * w + x) : 3 * (y * w + x) + 3] = ct[
+                        3 * ci : 3 * ci + 3
+                    ]
+            return w, h, 3, bytes(canvas)
+    raise ValueError("GIF missing image data")
+
+
+def encode_gif(
+    w: int, h: int, rgb: bytes, *, interlace: bool = False
+) -> bytes:
+    """RGB rows → single-frame GIF89a with a global palette built from
+    the image (≤256 distinct colors required — GIF is palettized;
+    lossless for such images, unlike JPEG). Fixture generator for
+    ``_decode_gif``; ``interlace=True`` writes rows in 4-pass order."""
+    px = [rgb[3 * i : 3 * i + 3] for i in range(w * h)]
+    palette = sorted(set(px))
+    if len(palette) > 256:
+        raise ValueError("encode_gif requires <= 256 distinct colors")
+    cix = {c: i for i, c in enumerate(palette)}
+    bits = max(2, (len(palette) - 1).bit_length())
+    table_n = 1 << bits
+    indices = bytearray(cix[c] for c in px)
+    if interlace:
+        reordered = bytearray()
+        for row in _interlace_order(h):
+            reordered += indices[row * w : (row + 1) * w]
+        indices = reordered
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7) << 4 | (bits - 1), 0, 0)
+    for i in range(table_n):
+        out += palette[i] if i < len(palette) else b"\x00\x00\x00"
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(bits)
+    lzw = _gif_lzw_encode(bytes(indices), bits)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synthetic_palette_pixels(doc_id: int, w: int, h: int) -> bytes:
+    """Deterministic ≤16-color pattern (GIF needs a palette):
+    index(x, y) = (x*7 + y*31 + doc_id) % 16, palette[i] =
+    (i*17 % 256, i*53 % 256, i*97 % 256). Pure integer function of
+    (doc_id, x, y) — DuckDB recomputes the expected stats directly."""
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            i = (x * 7 + y * 31 + doc_id) % 16
+            out += bytes(((i * 17) % 256, (i * 53) % 256, (i * 97) % 256))
+    return bytes(out)
+
+
+def encode_synthetic_gif(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, blob): each doc's palette pattern in a real
+    single-frame GIF89a (LZW-compressed; every 3rd doc interlaced so
+    both row orders ride through the corpus)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 9, 6 + i % 5
+                blobs.append(
+                    encode_gif(
+                        w,
+                        h,
+                        synthetic_palette_pixels(i, w, h),
+                        interlace=(i % 3 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )

@@ -1367,6 +1367,60 @@ def mm_real_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_gif_decode_roundtrip",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM dims
+    ),
+    v AS (
+      SELECT doc_id, w, h,
+             ((((i // 3) % w) * 7 + (i // (3 * w)) * 31 + doc_id) % 16) AS ci,
+             (i % 3) AS ch
+      FROM px
+    ),
+    val AS (
+      SELECT doc_id, w, h,
+             (ci * CASE ch WHEN 0 THEN 17 WHEN 1 THEN 53 ELSE 97 END) % 256
+               AS pv
+      FROM v
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           round(CAST(sum(pv) AS DOUBLE) / count(*), 6) AS mean_pixel
+    FROM val GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "extension", "udf"),
+)
+def mm_gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF (LZW) round-trip inside the engine: every doc's 16-color
+    palette pattern is LZW-compressed into a real single-frame GIF89a
+    (every 3rd doc interlaced), decoded back by the from-scratch
+    decoder, and reduced to features. Pixels are a pure function of
+    (doc_id, x, y, c), so DuckDB recomputes the expected dims/mean
+    without touching a codec — one wrong byte anywhere in the
+    LZW/interlace path moves the mean."""
+    from firefly_vcut_spark.operators.multimodal import (
+        decode_features_real,
+        encode_synthetic_gif,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = decode_features_real(encode_synthetic_gif(d))
+    return feats.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("mean_pixel").cast("double").alias("mean_pixel"),
+    )
+
+
+@query(
     "mm_frame_sample",
     sql=_mm_frame_sql(),
     tags=("multimodal", "extension", "udf"),

@@ -520,3 +520,145 @@ def test_jpeg_baseline_multi_scan_with_restarts():
             encode_jpeg_baseline(w, h, rgb, interleave=False, restart_interval=ri)
         )
         assert got == want, ri
+
+
+class _CodePacker:
+    """Hand-pack an LZW code stream at explicit widths (LSB-first per
+    the GIF spec) — lets tests pin the DECODER against the spec
+    directly, independent of our encoder."""
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, code, width):
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def bytes(self):
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def test_gif_lzw_decoder_spec_dict_growth_and_self_reference():
+    """Spec-pinned stream (min code size 2, clear=4, end=5): after
+    CLEAR, codes 1,2 build entry 6='12'; code 6 exercises a dict HIT;
+    then c == next_code (8) exercises the self-reference case
+    (prev + prev[0]). Widths stay 3 bits (next_code < 8 throughout
+    reads)."""
+    from firefly_vcut_spark.operators.multimodal import _gif_lzw_decode
+
+    p = _CodePacker()
+    p.put(4, 3)  # CLEAR
+    p.put(1, 3)  # '1'
+    p.put(2, 3)  # '2'        → adds 6='12'
+    p.put(6, 3)  # '12'       → adds 7='21'  (dict hit)
+    # next read is at width 4: the add of 7 made next_code == 8
+    p.put(8, 4)  # self-ref: prev='12' → '121', adds 8='121'
+    p.put(5, 4)  # END
+    out = _gif_lzw_decode(p.bytes(), 2, 100)
+    assert out == bytes([1, 2, 1, 2, 1, 2, 1])
+
+
+def test_gif_lzw_decoder_width_grows_at_table_size():
+    """The width bump must happen exactly when the table reaches
+    1<<width: with min code size 2 (next_code starts at 6), the
+    second add lands next_code on 8 → the FOLLOWING code is read at
+    4 bits."""
+    from firefly_vcut_spark.operators.multimodal import _gif_lzw_decode
+
+    p = _CodePacker()
+    p.put(4, 3)  # CLEAR
+    p.put(0, 3)
+    p.put(1, 3)  # adds 6
+    p.put(2, 3)  # adds 7 → next_code == 8 → width 4 from here
+    p.put(3, 4)
+    p.put(5, 4)  # END
+    assert _gif_lzw_decode(p.bytes(), 2, 10) == bytes([0, 1, 2, 3])
+
+
+def test_gif_roundtrip_palette_and_interlace():
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    for seed, (w, h), ncol in ((0, (17, 13), 4), (1, (33, 21), 256)):
+        r = np.random.default_rng(seed)
+        lut = r.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        img = lut[r.integers(0, ncol, (h, w))]
+        rgb = img.tobytes()
+        assert _decode_gif(encode_gif(w, h, rgb)) == (w, h, 3, rgb)
+        assert _decode_gif(encode_gif(w, h, rgb, interlace=True)) == (
+            w,
+            h,
+            3,
+            rgb,
+        ), "interlace"
+
+
+def test_gif_lzw_table_full_clear_path():
+    """A large 256-color noise image drives the dictionary past 4096
+    entries — the encoder must emit CLEAR and both sides must resync
+    losslessly."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import (
+        _decode_gif,
+        _gif_lzw_encode,
+        encode_gif,
+    )
+
+    r = np.random.default_rng(3)
+    w, h = 120, 90
+    lut = r.integers(0, 256, (256, 3)).astype(np.uint8)
+    img = lut[r.integers(0, 256, (h, w))]
+    rgb = img.tobytes()
+    # table genuinely fills: the raw code stream must contain a CLEAR
+    # beyond the leading one (emitted on reset)
+    idx = bytes(r.integers(0, 256, 30000).tolist())
+    assert len(_gif_lzw_encode(idx, 8)) > 0
+    assert _decode_gif(encode_gif(w, h, rgb)) == (w, h, 3, rgb)
+
+
+def test_gif_decode_dispatch_and_transparency_composition():
+    """decode_image_real sniffs GIF magic; a hand-built GIF with a
+    smaller frame at (left, top), a transparency index, and a local
+    color table composites onto the background color."""
+    import struct as st
+
+    from firefly_vcut_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_image_real,
+    )
+
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", 4, 3, 0x80 | 0x01, 1, 0)  # screen 4x3, GCT 4
+    out += bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9]
+    )  # palette: red, green, blue, grey; bg = index 1 (green)
+    out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 3, 0])  # GCE: transparent idx 3
+    out += st.pack("<BHHHHB", 0x2C, 1, 1, 2, 2, 0)  # 2x2 frame at (1,1)
+    out.append(2)  # LZW min code size
+    lzw = _gif_lzw_encode(bytes([0, 2, 3, 0]), 2)  # red, blue, TRANSP, red
+    out.append(len(lzw))
+    out += lzw
+    out += b"\x00\x3b"
+    w, h, c, px = decode_image_real(bytes(out))
+    assert (w, h, c) == (4, 3, 3)
+    G, R, B = (0, 255, 0), (255, 0, 0), (0, 0, 255)
+    want = [
+        G, G, G, G,
+        G, R, B, G,
+        G, G, R, G,  # (2,1) transparent → background green
+    ]
+    got = [tuple(px[3 * i : 3 * i + 3]) for i in range(12)]
+    assert got == want
