@@ -139,7 +139,7 @@ _FRONT50 = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_lsh_then_verify",
-    "dedup_ngram_jaccard",
+    "er_blocked_name_match",
     "layout_zorder_files",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed_topk",

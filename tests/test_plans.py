@@ -306,3 +306,42 @@ def test_allpairs_no_cartesian_prefix_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "array_intersect" in plan
+
+
+def test_dsir_broadcasts_model_and_no_text_in_shuffle(spark, sf_dir):
+    """DSIR: the 64-row λ table must BROADCAST back onto the gram
+    stream (no shuffled join on hb), the doc aggregate is the only
+    wide exchange, and the final draw is a TakeOrdered — never a
+    global sort."""
+    plan = _plan(spark, sf_dir, "corpus_dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    # scoring exchange is keyed on doc_id only — text never shuffles
+    import re
+
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m
+
+
+def test_er_blocking_is_equi_join_with_verify_after(spark, sf_dir):
+    """ER: candidates must come from an equi-join on the blocking key
+    (hash or sort-merge — never a cartesian/BNLJ), with levenshtein
+    only in the post-join filter."""
+    plan = _plan(spark, sf_dir, "er_blocked_name_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+    assert "levenshtein" in plan
+
+
+def test_bpe_encode_broadcasts_word_pieces(spark, sf_dir):
+    """BPE encode: the vocab-bounded word-piece table broadcasts; the
+    corpus side aggregates on doc_id. No doc text in any exchange."""
+    plan = _plan(spark, sf_dir, "text_bpe_encode_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m
