@@ -293,6 +293,16 @@ def merge_postings(deltas: DataFrame) -> DataFrame:
     )
 
 
+# the scored result is lazy, so its doc_bucket cache must outlive the
+# call — one-slot retirement bounds the leak to the latest corpus
+_LIVE_DSIR_CACHES: list = []
+
+
+def _retire_dsir_cache() -> None:
+    while _LIVE_DSIR_CACHES:
+        _LIVE_DSIR_CACHES.pop().unpersist()
+
+
 def dsir_importance_scores(
     docs: DataFrame, target_filter: Column, n_buckets: int = 64
 ) -> DataFrame:
@@ -304,10 +314,20 @@ def dsir_importance_scores(
 
     Engine shape (all hash-replayable, no RNG):
     - ONE explode produces (doc_id, is_target, bucket) with bucket =
-      charfold(gram) mod n_buckets — a pure map-side projection.
-    - Both models fall out of ONE n_buckets-row aggregate (count
-      raw / count_if target); λ is derived in-plan and BROADCAST back
-      (n_buckets rows), exactly the char_lm_scores fit-join shape.
+      charfold(gram) mod n_buckets — a pure map-side projection —
+      and is partial-aggregated ONCE into (doc_id, is_target, hb, m)
+      counts, which are PERSISTED: the model collect fills the cache
+      and the scoring pass reads it, so the corpus is tokenized and
+      hashed exactly once (a broadcast-subquery build is a separate
+      execution, so plain exchange reuse cannot deliver this). The
+      cached featurization is ≤ n_buckets ints per doc — orders of
+      magnitude smaller than the text it replaces — and retires on
+      the next call (one-slot queue, same pattern as the graph
+      caches).
+    - Both models fall out of one n_buckets-row rollup of the shared
+      aggregate (collected driver-side like the char_lm fit); λ is
+      computed on that tiny table IN-PLAN with F.log (JVM log parity
+      with the oracle's ln) and BROADCAST back.
     - Per-bucket log-ratios are quantized to integer micro-nats, so
       the per-doc sum is an INTEGER aggregation — partial-agg order
       can never flip the rounded weight.
@@ -317,46 +337,77 @@ def dsir_importance_scores(
     the draw itself is oracle-replayable.
 
     Returns (doc_id, n_grams, w_micro) — total weight in micro-nats.
-    The gram explode is evaluated twice (model fit + scoring), both
-    scan-shaped; at 100 TB the model side would fit on a sample, the
-    λ table stays n_buckets rows either way."""
+    At 100 TB the model side would fit on a sample; the λ table stays
+    n_buckets rows either way."""
     from firefly_vcut_spark.operators.dedup import charfold_hash
 
-    toks = tokens(F.col("text"))
-    grams = F.concat(toks, word_ngrams(toks, 2))
-    bucketed = docs.select(
+    # bind the token array to a real column BEFORE gram derivation:
+    # word_ngrams indexes the array per gram (element_at), and an
+    # UNBOUND tokens(text) expression would re-run the regex split
+    # inside every lambda step — O(len²) per doc (measured 9s → 0.6s
+    # at sf0.1 for the explode stage alone)
+    # full-width CPU parallelism for the hash scan (same pattern as
+    # the dedup/ann operators): local SF tables are one small file,
+    # so the scan alone yields too few splits for a per-char fold
+    toked = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).select(
         "doc_id",
         target_filter.alias("is_target"),
+        tokens(F.col("text")).alias("tk"),
+    )
+    grams = F.concat(F.col("tk"), word_ngrams(F.col("tk"), 2))
+    bucketed = toked.select(
+        "doc_id",
+        "is_target",
         F.explode(grams).alias("g"),
     ).select(
         "doc_id",
         "is_target",
         (charfold_hash(F.col("g")) % n_buckets).alias("hb"),
     )
-    model = bucketed.groupBy("hb").agg(
-        F.count(F.lit(1)).alias("r"),
-        F.count_if(F.col("is_target")).alias("t"),
+    # the ONE shared aggregate both the fit and the scoring hang off
+    _retire_dsir_cache()
+    doc_bucket = (
+        bucketed.groupBy("doc_id", "is_target", "hb")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist()
     )
-    totals = model.agg(
-        F.sum("r").cast("long").alias("tr"), F.sum("t").cast("long").alias("tt")
+    model_rows = (
+        doc_bucket.groupBy("hb")
+        .agg(
+            F.sum("m").alias("r"),
+            F.sum(
+                F.when(F.col("is_target"), F.col("m")).otherwise(F.lit(0))
+            ).alias("t"),
+        )
+        .collect()  # n_buckets rows; this action fills the cache
     )
-    lam_df = model.crossJoin(totals).select(
+    tr = sum(int(r["r"]) for r in model_rows)
+    tt = sum(int(r["t"]) for r in model_rows)
+    spark = docs.sparkSession
+    model_df = spark.createDataFrame(
+        [(int(r["hb"]), int(r["r"]), int(r["t"])) for r in model_rows],
+        schema="hb long, r long, t long",
+    )
+    lam_df = model_df.select(
         "hb",
         F.round(
             F.log(
-                ((F.col("t") + F.lit(1.0)) / (F.col("tt") + F.lit(n_buckets)))
-                * ((F.col("tr") + F.lit(float(n_buckets))) / (F.col("r") + F.lit(1.0)))
+                ((F.col("t") + F.lit(1.0)) / (F.lit(tt) + F.lit(n_buckets)))
+                * ((F.lit(tr) + F.lit(float(n_buckets))) / (F.col("r") + F.lit(1.0)))
             )
             * 1e6
         )
         .cast("long")
         .alias("lam"),
     )
+    _LIVE_DSIR_CACHES.append(doc_bucket)
     return (
-        bucketed.join(F.broadcast(lam_df), "hb")
+        doc_bucket.join(F.broadcast(lam_df), "hb")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum("lam").cast("long").alias("w_micro"),
+            F.sum("m").cast("long").alias("n_grams"),
+            F.sum(F.col("m") * F.col("lam")).cast("long").alias("w_micro"),
         )
     )

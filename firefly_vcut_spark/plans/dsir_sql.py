@@ -74,7 +74,7 @@ _CHARFOLD_G = (
     ORDER BY avg_logratio DESC, doc_id ASC
     LIMIT {_K}
     """,
-    tags=("corpus", "extension", "selection", "dsir"),
+    tags=("corpus", "extension", "selection", "dsir", "bench"),
 )
 def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection: importance weights from hashed uni+bigram
