@@ -744,3 +744,131 @@ def read_inverted_index(spark: SparkSession, store_root: str) -> DataFrame:
     from firefly_vcut_spark.sources.snapshots import SnapshotStore
 
     return merge_postings(SnapshotStore(spark, store_root).read("postings"))
+
+
+def write_heavy_hitters_sink(
+    stream_df: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    k: int = 10,
+    pool: int = 64,
+    depth: int = 4,
+    width: int = 512,
+) -> str:
+    """Streaming heavy hitters: a Count-Min sketch folded per
+    micro-batch (O(depth·width) state — counter ADDITION is the exact
+    commutative merge, unlike Misra-Gries whose merge is lossy and
+    order-dependent) plus a rolling candidate pool of the ``pool``
+    highest-estimate keys seen so far. The always-on analog of
+    agg_cms_heavy_hitters.
+
+    Exactly-once: every batch's CMS delta is appended as a SEGMENT
+    tagged (query, batch_id) — including batch 0 against an empty
+    schema-bearing base — so crash re-delivery of any batch is a
+    store no-op (counter addition would otherwise double-count; the
+    all-tagged discipline is the same as the inverted-index sink).
+    Auto-compaction may concatenate segments (no key resolution);
+    readers SUM per (r, bucket), which is invariant under
+    concatenation. The candidate pool is re-DERIVED from the sketch
+    each batch (not accumulated), so its rewrite is idempotent by
+    construction and O(pool).
+
+    Candidate semantics: a key enters the pool in any batch where it
+    appears; it survives while its full-history CMS estimate stays in
+    the top ``pool``. A true heavy hitter appears in some batch and
+    its estimate only grows, so with pool margin over k the final
+    top-k equals the batch twin's on separated data (asserted in
+    tests/test_streaming_sketch.py).
+
+    Returns ``store_root``; query with ``read_heavy_hitters``."""
+    from firefly_vcut_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    spark = stream_df.sparkSession
+    store = SnapshotStore(spark, store_root)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = cms_table(batch_df, key_col, depth, width)
+        if not store.exists("hh_cms"):
+            store.write(
+                "hh_cms",
+                spark.createDataFrame([], "r int, bucket long, n long"),
+            )
+        store.append_segment(
+            "hh_cms",
+            delta.select(
+                F.col("r").cast("int"),
+                F.col("bucket").cast("long"),
+                F.col("n").cast("long"),
+            ),
+            tag=_sink_tag(checkpoint_dir, batch_id),
+        )
+        cms = read_cms_state(spark, store_root)
+        batch_keys = batch_df.select(key_col).distinct()
+        if store.exists("hh_pool"):
+            batch_keys = batch_keys.unionByName(
+                store.read("hh_pool").select(key_col)
+            ).distinct()
+        scored = cms_point_estimates(batch_keys, cms, key_col, depth, width)
+        new_pool = (
+            scored.orderBy(F.desc("cms_estimate"), F.asc(key_col))
+            .limit(pool)
+            .select(
+                F.col(key_col).cast("long"),
+                F.col("cms_estimate").cast("long"),
+            )
+        )
+        store.write("hh_pool", new_pool)
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store_root
+
+
+def read_cms_state(spark: SparkSession, store_root: str) -> DataFrame:
+    """Merged CMS counters: SUM per (r, bucket) across the base and
+    every segment — correct under any segment concatenation order."""
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, store_root)
+    return (
+        store.read("hh_cms")
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def read_heavy_hitters(
+    spark: SparkSession,
+    store_root: str,
+    k: int = 10,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Top-k keys by full-history CMS estimate from the committed
+    state (pool re-scored against the merged sketch)."""
+    from firefly_vcut_spark.operators.sketches import cms_point_estimates
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, store_root)
+    cms = read_cms_state(spark, store_root)
+    pool = store.read("hh_pool").select(key_col)
+    return (
+        cms_point_estimates(pool, cms, key_col, depth, width)
+        .orderBy(F.desc("cms_estimate"), F.asc(key_col))
+        .limit(k)
+        .select(
+            F.col(key_col).cast("long"),
+            F.col("cms_estimate").cast("long"),
+        )
+    )

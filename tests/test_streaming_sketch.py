@@ -177,3 +177,107 @@ def test_streaming_session_windows_equal_batch_across_restarts(
     assert got == batch
     # sanity: slicing actually split sessions (state merging exercised)
     assert len(slices) == 3 and all(s.count() > 0 for s in slices)
+
+
+def _skewed_events(spark, tmp_path, n_files=3):
+    """Deterministic skewed key stream: users 1-5 are true heavy
+    hitters (400-800 events each), users 100-399 light (3 each).
+    Written as n_files files → n_files micro-batches."""
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for _ in range(400 + 100 * u):
+            rows.append((eid, u))
+            eid += 1
+    for u in range(100, 400):
+        for _ in range(3):
+            rows.append((eid, u))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    src = str(tmp_path / "hh_parts")
+    # deterministic interleave: event_id % n_files slices every user
+    # across all batches
+    df.withColumn("slice", F.col("event_id") % n_files).repartition(
+        n_files, "slice"
+    ).drop("slice").write.parquet(src)
+    return (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+def test_streaming_heavy_hitters_equals_batch(spark, tmp_path):
+    from firefly_vcut_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+    from firefly_vcut_spark.streaming.incremental import (
+        read_heavy_hitters,
+        write_heavy_hitters_sink,
+    )
+
+    stream = _skewed_events(spark, tmp_path)
+    root = str(tmp_path / "store")
+    write_heavy_hitters_sink(
+        stream, root, str(tmp_path / "ck"), key_col="user_id", k=5
+    )
+    got = [
+        (r["user_id"], r["cms_estimate"])
+        for r in read_heavy_hitters(spark, root, k=5).collect()
+    ]
+    # batch twin: full-data CMS, same estimates
+    batch = spark.read.parquet(str(tmp_path / "hh_parts"))
+    cms = cms_table(batch, "user_id")
+    est = cms_point_estimates(
+        batch.select("user_id").distinct(), cms, "user_id"
+    )
+    want = [
+        (r["user_id"], r["cms_estimate"])
+        for r in est.orderBy(
+            F.desc("cms_estimate"), F.asc("user_id")
+        ).limit(5).collect()
+    ]
+    assert got == want
+    # the true heavies are exactly users 1-5, and CMS is one-sided:
+    # estimate >= exact count
+    exact = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {u for u, _ in got} == {1, 2, 3, 4, 5}
+    for u, e in got:
+        assert e >= exact[u]
+
+
+def test_heavy_hitters_batch0_redelivery_no_double_count(spark, tmp_path):
+    """Crash between the store commit and the checkpoint commit of the
+    FIRST batch: re-delivery must not double the CMS counters (counter
+    addition is the one merge a duplicated delta corrupts)."""
+    import os
+
+    from firefly_vcut_spark.streaming.incremental import (
+        read_heavy_hitters,
+        write_heavy_hitters_sink,
+    )
+
+    stream = _skewed_events(spark, tmp_path)
+    root = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    write_heavy_hitters_sink(stream, root, ck, key_col="user_id", k=5)
+    s1 = [tuple(r) for r in read_heavy_hitters(spark, root, k=5).collect()]
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()
+    )
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    replay = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "hh_parts"))
+    )
+    write_heavy_hitters_sink(replay, root, ck, key_col="user_id", k=5)
+    s2 = [tuple(r) for r in read_heavy_hitters(spark, root, k=5).collect()]
+    assert s1 == s2 and len(s1) == 5
