@@ -662,3 +662,38 @@ def test_gif_decode_dispatch_and_transparency_composition():
     ]
     got = [tuple(px[3 * i : 3 * i + 3]) for i in range(12)]
     assert got == want
+
+
+def test_gif_roundtrip_property():
+    """Hypothesis: any small palettized image (any palette size 1-256,
+    any dims, interlaced or not) round-trips encode_gif → decode
+    losslessly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from firefly_vcut_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=30),
+        ncol=st.integers(min_value=1, max_value=256),
+        interlace=st.booleans(),
+    )
+    def roundtrip(seed, w, h, ncol, interlace):
+        r = np.random.default_rng(seed)
+        lut = r.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        rgb = lut[r.integers(0, ncol, (h, w))].tobytes()
+        assert _decode_gif(encode_gif(w, h, rgb, interlace=interlace)) == (
+            w,
+            h,
+            3,
+            rgb,
+        )
+
+    roundtrip()
