@@ -98,6 +98,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.dsir_sql  # noqa: F401
     import firefly_vcut_spark.plans.er_sql  # noqa: F401
     import firefly_vcut_spark.plans.bpe_sql  # noqa: F401
+    import firefly_vcut_spark.plans.rag_sql  # noqa: F401
 
 
 # Registry-order insurance (VERDICT r1 item 8): the driver records the
@@ -142,7 +143,7 @@ _FRONT50 = [
     "er_blocked_name_match",
     "layout_zorder_files",
     "ann_bruteforce_topk",
-    "ann_lsh_bucketed_topk",
+    "rag_context_assembly",
     "ann_ivf_kmeans_topk",
     "text_quality_scores",
     "text_lang_id",
