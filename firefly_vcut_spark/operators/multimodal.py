@@ -4,13 +4,16 @@ with a typed metadata struct, processed by Arrow-batched
 
 Decode paths:
 - REAL (``decode_image_real`` → ``decode_features_real``): from-scratch
-  decoders for BMP (24-bit BI_RGB), PPM (P6), PNG (8-bit gray/RGB/RGBA,
-  all five scanline filters, zlib IDAT), and baseline sequential JPEG
-  (canonical Huffman + dequant + 2-D IDCT, sampling factors to 2x2,
-  DRI/RST restarts) — no external codec needed, pixels actually
-  recovered. The remaining codec-class boundary (progressive JPEG,
-  WebP's VP8, video codecs) raises NotImplementedError behind the
-  guard; swapping in PIL/ffmpeg changes one function.
+  decoders for BMP (24-bit BI_RGB), PPM (P6), PNG (all five color
+  types, bit depths 1/2/4/8/16, PLTE/tRNS, Adam7 interlace, all five
+  scanline filters, zlib IDAT), JPEG (baseline SOF0/1 incl.
+  multi-scan and DRI/RST restarts, progressive SOF2 per T.81 Annex G,
+  sampling factors to 2x2), and GIF (variable-width LZW, interlace,
+  transparency composition) — no external codec needed, pixels
+  actually recovered. The remaining codec-class boundary (WebP's VP8,
+  inter-coded video, arithmetic/hierarchical JPEG) raises
+  NotImplementedError behind the guard; swapping in PIL/ffmpeg
+  changes one function.
 - FAKE (``decode_image_fake``): deterministic byte-level stand-in used
   by the registry query over the synthetic text-blob corpus.
 
@@ -139,15 +142,84 @@ def _decode_ppm(blob: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, px
 
 
+# Adam7 interlace passes: (xstart, ystart, xstep, ystep)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+# spec-legal (color type → allowed bit depths)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
+def _png_unfilter(raw: bytes, p: int, stride: int, bpp: int, nrows: int):
+    """Invert the five scanline filters over one (sub)image; returns
+    (rows, next offset). ``bpp`` is the filter byte distance — whole
+    bytes per pixel, min 1 for sub-byte depths per spec."""
+    rows = []
+    prev = bytearray(stride)
+    for _ in range(nrows):
+        f = raw[p]
+        row = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif f == 2:  # up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        rows.append(row)
+        prev = row
+    return rows, p
+
+
+def _png_row_samples(row: bytes, sw: int, ch_raw: int, depth: int) -> list[int]:
+    """One unfiltered scanline → flat per-channel samples (MSB-first
+    bit unpacking for sub-byte depths, big-endian pairs for 16-bit)."""
+    n = sw * ch_raw
+    if depth == 8:
+        return list(row[:n])
+    if depth == 16:
+        return [
+            (row[2 * i] << 8) | row[2 * i + 1] for i in range(n)
+        ]
+    out = []
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    for i in range(n):
+        byte = row[i // per_byte]
+        shift = 8 - depth * (i % per_byte + 1)
+        out.append((byte >> shift) & mask)
+    return out
+
+
 def _decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
-    """PNG, 8-bit depth, gray/RGB/RGBA (color types 0/2/6), no
-    interlace → (w, h, channels, unfiltered rows top-down). Inflates
-    the IDAT stream with stdlib zlib and inverts all five scanline
-    filters (none/sub/up/average/paeth)."""
+    """PNG → (w, h, channels, rows top-down): all five color types
+    (gray, RGB, palette, gray+alpha, RGBA), bit depths 1/2/4/8/16
+    (sub-byte depths scaled to 8-bit, 16-bit reduced to the high
+    byte), PLTE + tRNS palette transparency, and Adam7 interlace.
+    Inflates IDAT with stdlib zlib and inverts all five scanline
+    filters (none/sub/up/average/paeth) per pass."""
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat = 8, b""
-    w = h = channels = None
+    w = h = depth = ctype = inter = None
+    plte: bytes = b""
+    trns: bytes = b""
     while pos + 8 <= len(blob):
         ln = struct.unpack_from(">I", blob, pos)[0]
         typ = blob[pos + 4 : pos + 8]
@@ -157,50 +229,81 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
             w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype not in (0, 2, 6) or inter != 0:
-                raise NotImplementedError(
-                    f"PNG depth={depth} color_type={ctype} interlace={inter}"
-                )
-            channels = {0: 1, 2: 3, 6: 4}[ctype]
+            if ctype not in _PNG_DEPTHS or depth not in _PNG_DEPTHS[ctype]:
+                raise ValueError(f"PNG depth={depth} color_type={ctype} invalid")
+            if inter not in (0, 1):
+                raise ValueError(f"PNG interlace={inter} invalid")
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if ctype == 3 and not plte:
+        raise ValueError("palette PNG missing PLTE")
+    ch_raw = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(idat)
-    stride = w * channels
-    ch = channels
-    px = bytearray(stride * h)
-    prev = bytearray(stride)
+    bpp = max(1, (ch_raw * depth) // 8)
+
+    # samples grid: h rows × (w * ch_raw) ints
+    grid = [[0] * (w * ch_raw) for _ in range(h)]
     p = 0
+    if inter == 0:
+        stride = (w * ch_raw * depth + 7) // 8
+        rows, p = _png_unfilter(raw, p, stride, bpp, h)
+        for y, row in enumerate(rows):
+            grid[y] = _png_row_samples(row, w, ch_raw, depth)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sw = (w - x0 + dx - 1) // dx
+            sh = (h - y0 + dy - 1) // dy
+            if sw <= 0 or sh <= 0:
+                continue
+            stride = (sw * ch_raw * depth + 7) // 8
+            rows, p = _png_unfilter(raw, p, stride, bpp, sh)
+            for sy, row in enumerate(rows):
+                samples = _png_row_samples(row, sw, ch_raw, depth)
+                y = y0 + sy * dy
+                for sx in range(sw):
+                    x = x0 + sx * dx
+                    for c in range(ch_raw):
+                        grid[y][x * ch_raw + c] = samples[sx * ch_raw + c]
+
+    # map raw samples to 8-bit output pixels
+    if ctype == 3:
+        n_pal = len(plte) // 3
+        has_alpha = len(trns) > 0
+        ch_out = 4 if has_alpha else 3
+        px = bytearray(w * h * ch_out)
+        for y in range(h):
+            for x in range(w):
+                ci = grid[y][x]
+                if ci >= n_pal:
+                    raise ValueError("palette index out of range")
+                o = (y * w + x) * ch_out
+                px[o : o + 3] = plte[3 * ci : 3 * ci + 3]
+                if has_alpha:
+                    px[o + 3] = trns[ci] if ci < len(trns) else 255
+        return w, h, ch_out, bytes(px)
+    maxv = (1 << depth) - 1
+    ch_out = ch_raw
+    px = bytearray(w * h * ch_out)
+    o = 0
     for y in range(h):
-        f = raw[p]
-        row = bytearray(raw[p + 1 : p + 1 + stride])
-        p += 1 + stride
-        if f == 1:  # sub
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
-        elif f == 2:  # up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif f == 3:  # average
-            for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
-                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # paeth
-            for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                row[i] = (row[i] + pr) & 0xFF
-        elif f != 0:
-            raise ValueError(f"bad PNG filter {f}")
-        px[y * stride : (y + 1) * stride] = row
-        prev = row
-    return w, h, channels, bytes(px)
+        row = grid[y]
+        for v in row:
+            if depth == 8:
+                px[o] = v
+            elif depth == 16:
+                px[o] = v >> 8
+            else:
+                px[o] = v * 255 // maxv
+            o += 1
+    return w, h, ch_out, bytes(px)
 
 
 # ---------------------------------------------------------------------------

@@ -697,3 +697,167 @@ def test_gif_roundtrip_property():
         )
 
     roundtrip()
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _pack_bits(samples, depth):
+    """MSB-first sub-byte packing of one scanline's samples."""
+    out = bytearray()
+    acc = nb = 0
+    for v in samples:
+        acc = (acc << depth) | v
+        nb += depth
+        if nb == 8:
+            out.append(acc)
+            acc = nb = 0
+    if nb:
+        out.append(acc << (8 - nb))
+    return bytes(out)
+
+
+def encode_png_general(
+    w,
+    h,
+    samples_rows,
+    *,
+    ctype,
+    depth,
+    plte=b"",
+    trns=b"",
+    interlace=False,
+):
+    """Hand-rolled spec PNG: any color type / depth, optional Adam7
+    (all rows filter 0 — the filter branches are covered by the
+    8-bit tests). ``samples_rows`` is h rows of w*ch_raw ints."""
+    ch_raw = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+
+    def scanline(samples):
+        if depth == 8:
+            return bytes(samples)
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for v in samples)
+        return _pack_bits(samples, depth)
+
+    raw = bytearray()
+    if not interlace:
+        for y in range(h):
+            raw += b"\x00" + scanline(samples_rows[y])
+    else:
+        from firefly_vcut_spark.operators.multimodal import _ADAM7
+
+        for x0, y0, dx, dy in _ADAM7:
+            sw = (w - x0 + dx - 1) // dx
+            sh = (h - y0 + dy - 1) // dy
+            if sw <= 0 or sh <= 0:
+                continue
+            for sy in range(sh):
+                y = y0 + sy * dy
+                samples = []
+                for sx in range(sw):
+                    x = x0 + sx * dx
+                    samples += samples_rows[y][x * ch_raw : (x + 1) * ch_raw]
+                raw += b"\x00" + scanline(samples)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    if trns:
+        out += _png_chunk(b"tRNS", trns)
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_palette_with_and_without_trns():
+    import numpy as np
+
+    r = np.random.default_rng(2)
+    w, h, ncol = 9, 7, 5
+    plte = bytes(r.integers(0, 256, 3 * ncol).tolist())
+    idx = [[int(v) for v in r.integers(0, ncol, w)] for _ in range(h)]
+    blob = encode_png_general(w, h, idx, ctype=3, depth=8, plte=plte)
+    gw, gh, gc, px = decode_image_real(blob)
+    assert (gw, gh, gc) == (w, h, 3)
+    for y in range(h):
+        for x in range(w):
+            ci = idx[y][x]
+            assert px[3 * (y * w + x) : 3 * (y * w + x) + 3] == plte[3 * ci : 3 * ci + 3]
+    trns = bytes([10, 200, 255])  # alpha for first 3 entries; rest default 255
+    gw, gh, gc, px = decode_image_real(
+        encode_png_general(w, h, idx, ctype=3, depth=8, plte=plte, trns=trns)
+    )
+    assert gc == 4
+    for y in range(h):
+        for x in range(w):
+            ci = idx[y][x]
+            a = trns[ci] if ci < 3 else 255
+            assert px[4 * (y * w + x) + 3] == a
+
+
+def test_png_sub_byte_depths_gray_and_palette():
+    # 4-bit gray: values scale by 255//15
+    w, h = 6, 3
+    rows = [[(x + y) % 16 for x in range(w)] for y in range(h)]
+    gw, gh, gc, px = decode_image_real(
+        encode_png_general(w, h, rows, ctype=0, depth=4)
+    )
+    assert (gw, gh, gc) == (w, h, 1)
+    assert list(px) == [v * 255 // 15 for r_ in rows for v in r_]
+    # 2-bit palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    rows = [[(x * y) % 4 for x in range(w)] for y in range(h)]
+    gw, gh, gc, px = decode_image_real(
+        encode_png_general(w, h, rows, ctype=3, depth=2, plte=plte)
+    )
+    assert gc == 3
+    assert px[:3] == plte[3 * rows[0][0] : 3 * rows[0][0] + 3]
+
+
+def test_png_16bit_reduces_to_high_byte():
+    w, h = 4, 2
+    rows = [
+        [((x + y * w) * 4096 + 513) % 65536 for x in range(w * 3)]
+        for y in range(h)
+    ]
+    gw, gh, gc, px = decode_image_real(
+        encode_png_general(w, h, rows, ctype=2, depth=16)
+    )
+    assert (gw, gh, gc) == (w, h, 3)
+    assert list(px) == [v >> 8 for r_ in rows for v in r_]
+
+
+def test_png_gray_alpha_channels():
+    w, h = 5, 4
+    rows = [
+        [((x * 7 + y * 31 + c) % 256) for x in range(w) for c in range(2)]
+        for y in range(h)
+    ]
+    gw, gh, gc, px = decode_image_real(
+        encode_png_general(w, h, rows, ctype=4, depth=8)
+    )
+    assert (gw, gh, gc, list(px)) == (w, h, 2, [v for r_ in rows for v in r_])
+
+
+def test_png_adam7_interlace_roundtrip():
+    import numpy as np
+
+    r = np.random.default_rng(9)
+    for w, h, ctype, depth in ((13, 11, 2, 8), (9, 5, 0, 4), (8, 8, 6, 8), (3, 2, 2, 8)):
+        ch_raw = {0: 1, 2: 3, 6: 4}[ctype]
+        maxv = (1 << depth) - 1
+        rows = [
+            [int(v) for v in r.integers(0, maxv + 1, w * ch_raw)]
+            for _ in range(h)
+        ]
+        blob = encode_png_general(w, h, rows, ctype=ctype, depth=depth, interlace=True)
+        want_plain = encode_png_general(w, h, rows, ctype=ctype, depth=depth)
+        assert decode_image_real(blob) == decode_image_real(want_plain), (
+            w, h, ctype, depth,
+        )
