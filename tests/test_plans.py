@@ -345,3 +345,13 @@ def test_bpe_encode_broadcasts_word_pieces(spark, sf_dir):
 
     for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m
+
+
+def test_rag_retrieval_broadcasts_queries_and_id_joins_text(spark, sf_dir):
+    """RAG assembly: the query set must be the broadcast side of the
+    scoring join (corpus never re-shuffles for retrieval); the text
+    join is keyed; no CartesianProduct beyond the broadcast NLJ that
+    implements the scored cross (build side = the tiny query set)."""
+    plan = _plan(spark, sf_dir, "rag_context_assembly")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
