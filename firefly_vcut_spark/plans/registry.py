@@ -99,6 +99,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.er_sql  # noqa: F401
     import firefly_vcut_spark.plans.bpe_sql  # noqa: F401
     import firefly_vcut_spark.plans.rag_sql  # noqa: F401
+    import firefly_vcut_spark.plans.search_sql  # noqa: F401
 
 
 # Registry-order insurance (VERDICT r1 item 8): the driver records the
@@ -138,7 +139,7 @@ _FRONT50 = [
     "p9_prefix_filter",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "search_bm25_topk",
     "dedup_lsh_then_verify",
     "er_blocked_name_match",
     "layout_zorder_files",

@@ -1,0 +1,166 @@
+"""BM25 ranked retrieval (Robertson-Spärck Jones / Okapi BM25) over
+the documents corpus — the scoring half of the search-index story
+(inverted-index build and AllPairs/winnowing live in affinity_sql /
+winnow_sql; this is the query-time ranker).
+
+Reference scope note: the reference's `search --bvid --text` CLI
+(fuzzy single-doc scan) is the W1 flagship here; corpus-wide ranked
+keyword retrieval is this repo's search extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+_K1 = 1.2
+_B = 0.75
+_K1_PLUS_1 = _K1 + 1.0  # pre-folded so both engines carry the same double literal
+_ONE_MINUS_B = 1.0 - _B
+_TOPK = 10
+# query terms: document-frequency ranks 20-24 (df DESC, term ASC) — a
+# data-derived, engine-replayable query set that skips the stopword
+# head but stays on terms with plenty of matches
+_QLO, _QHI = 20, 24
+
+# the lazy result reads the tf cache; one-slot retirement bounds the
+# leak to the latest corpus (same pattern as the DSIR/graph caches)
+_LIVE_SEARCH_CACHES: list = []
+
+
+def _retire_search_cache() -> None:
+    while _LIVE_SEARCH_CACHES:
+        _LIVE_SEARCH_CACHES.pop().unpersist()
+
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@query(
+    "search_bm25_topk",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    qterms AS (
+        SELECT term, df FROM (
+            SELECT term, df,
+                   row_number() OVER (ORDER BY df DESC, term ASC) AS r
+            FROM dfreq
+        ) WHERE r BETWEEN {_QLO} AND {_QHI}
+    ),
+    scored AS (
+        SELECT q.term, tf.doc_id,
+               round(
+                   ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                   * ((tf.tf * {_K1_PLUS_1})
+                      / (tf.tf + {_K1} * ({_ONE_MINUS_B} + {_B} * (dl.dl / s.avgdl)))),
+                   6) AS score
+        FROM tf
+        JOIN qterms q USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY term
+                     ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored
+    )
+    SELECT term AS query_term,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           score
+    FROM ranked WHERE rank <= {_TOPK}
+    """,
+    tags=("text", "search", "extension", "topk"),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query term (k1=1.2, b=0.75): idf =
+    ln((N-df+0.5)/(df+0.5)+1), length-normalized tf saturation. The
+    query set is data-derived (df ranks 20-24), so the oracle replays
+    query selection, every score, and the ranked cut.
+
+    Scale: ONE token explode feeds tf; doc lengths and df are rollups
+    of that same aggregate; corpus stats are a 1-row broadcast; the
+    per-term rank is a window over only the matching postings (query
+    terms broadcast). Ordering compares the ROUNDED score so the
+    boundary is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    from firefly_vcut_spark.operators.text import tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    _retire_search_cache()
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    _LIVE_SEARCH_CACHES.append(tf)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # TakeOrdered (per-partition heaps) fetches the df head; the
+    # rank window then runs over ≤ _QHI rows — no vocab-sized
+    # single-partition sort
+    qterms = (
+        dfreq.orderBy(F.desc("df"), F.asc("term"))
+        .limit(_QHI)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("df"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("r") >= _QLO)
+        .select("term", "df")
+    )
+    score = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (
+            (F.col("tf") * F.lit(_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(_K1)
+                * (F.lit(1.0 - _B) + F.lit(_B) * (F.col("dl") / F.col("avgdl")))
+            )
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", score.alias("score"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select(
+            F.col("term").alias("query_term"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+        )
+    )
