@@ -8,8 +8,10 @@ Decode paths:
   types, bit depths 1/2/4/8/16, PLTE/tRNS, Adam7 interlace, all five
   scanline filters, zlib IDAT), JPEG (baseline SOF0/1 incl.
   multi-scan and DRI/RST restarts, progressive SOF2 per T.81 Annex G,
-  sampling factors to 2x2), and GIF (variable-width LZW, interlace,
-  transparency composition) — no external codec needed, pixels
+  sampling factors to 2x2), GIF (variable-width LZW, interlace,
+  transparency composition), and baseline TIFF (II/MM, strips,
+  gray/RGB/palette, LZW with early change + predictor 2, PackBits)
+  — no external codec needed, pixels
   actually recovered. The remaining codec-class boundary (WebP's VP8,
   inter-coded video, arithmetic/hierarchical JPEG) raises
   NotImplementedError behind the guard; swapping in PIL/ffmpeg
@@ -1419,6 +1421,8 @@ def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, in
         return _decode_jpeg(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(blob)
     if blob[8:12] == b"WEBP":
         raise NotImplementedError(
             "WebP (VP8 entropy coding) needs an image codec not present "
@@ -2080,3 +2084,342 @@ def encode_synthetic_gif(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         kernel, "doc_id long, blob binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline 6.0): II/MM byte orders, IFD walk, strip layout,
+# 8-bit gray / RGB / palette-color, compression none(1) / LZW(5,
+# MSB-first codes with early code-width change, the TIFF variant) /
+# PackBits(32773). Predictor 2 (horizontal differencing) supported.
+# ---------------------------------------------------------------------------
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW: 8-bit roots, codes MSB-first, ClearCode=256,
+    EOI=257, and the EARLY width change (width bumps when the NEXT
+    add would reach 1<<width − 1, one code earlier than GIF)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+    width = 9
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    prev: bytes | None = None
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out[:expect])
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad TIFF LZW code {code}")
+        if prev is not None:
+            table.append(prev + entry[:1])
+        # early change: width grows so the NEXT code can address the
+        # entry about to be added (TIFF 6.0 spec, 'LZW' section)
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+        prev = entry
+        out += entry
+    return bytes(out[:expect])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Compressing TIFF LZW mirroring the decoder's early-change
+    width schedule (encoder and decoder table sizes stay in lockstep
+    because the encoder's add at emission i is the decoder's add at
+    code i+1 — the early change absorbs the lag)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    buf = b""
+    for b in data:
+        nxt = buf + bytes([b])
+        if nxt in table:
+            buf = nxt
+            continue
+        put(table[buf], width)
+        table[nxt] = next_code
+        next_code += 1
+        # the decoder's add for this code happens one code LATER, and
+        # its early change fires at table size (1<<w)-1 — in lockstep
+        # that means the encoder widens when next_code reaches 1<<w
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # table full under early change: reset
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        buf = nxt[-1:]
+    if buf:
+        put(table[buf], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    p = 0
+    while p < len(data) and len(out) < expect:
+        n = data[p]
+        p += 1
+        if n < 128:
+            out += data[p : p + n + 1]
+            p += n + 1
+        elif n > 128:
+            out += bytes([data[p]]) * (257 - n)
+            p += 1
+        # n == 128: no-op per spec
+    return bytes(out[:expect])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple valid PackBits: runs ≥3 as replicates, else literals."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _decode_tiff(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline TIFF first IFD → (w, h, channels, rows top-down)."""
+    if blob[:4] == b"II*\x00":
+        e = "<"
+    elif blob[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    ifd_off = struct.unpack_from(e + "I", blob, 4)[0]
+    n_tags = struct.unpack_from(e + "H", blob, ifd_off)[0]
+    tags: dict[int, list[int]] = {}
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", blob, off)
+        if typ not in _SZ:
+            continue
+        total = _SZ[typ] * cnt
+        voff = off + 8 if total <= 4 else struct.unpack_from(e + "I", blob, off + 8)[0]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(
+            struct.unpack_from(e + fmt * cnt, blob, voff)
+        )
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    predictor = one(317, 1)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF BitsPerSample={bits}")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF compression={comp}")
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(f"TIFF photometric={photo}")
+    rows_per_strip = one(278, h)
+    strip_offs = tags.get(273)
+    strip_counts = tags.get(279)
+    if not strip_offs or not strip_counts:
+        raise ValueError("TIFF missing strip layout")
+    stride = w * spp
+    raw = bytearray()
+    row0 = 0
+    for s, (soff, scnt) in enumerate(zip(strip_offs, strip_counts)):
+        nrows = min(rows_per_strip, h - row0)
+        expect = nrows * stride
+        seg = blob[soff : soff + scnt]
+        if comp == 1:
+            raw += seg[:expect]
+        elif comp == 5:
+            raw += _tiff_lzw_decode(seg, expect)
+        else:
+            raw += _packbits_decode(seg, expect)
+        row0 += nrows
+    px = bytearray(raw[: h * stride])
+    if predictor == 2:  # horizontal differencing, per row per channel
+        for y in range(h):
+            base = y * stride
+            for i in range(spp, stride):
+                px[base + i] = (px[base + i] + px[base + i - spp]) & 0xFF
+    if photo == 3:  # palette-color: ColorMap is 16-bit per channel
+        cmap = tags.get(320)
+        if not cmap:
+            raise ValueError("palette TIFF missing ColorMap")
+        n = len(cmap) // 3
+        out = bytearray(w * h * 3)
+        for i in range(w * h):
+            ci = px[i]
+            if ci >= n:
+                raise ValueError("TIFF palette index out of range")
+            out[3 * i] = cmap[ci] >> 8
+            out[3 * i + 1] = cmap[n + ci] >> 8
+            out[3 * i + 2] = cmap[2 * n + ci] >> 8
+        return w, h, 3, bytes(out)
+    if photo == 0:  # WhiteIsZero: invert to the gray convention
+        px = bytearray(255 - v for v in px)
+    return w, h, spp, bytes(px)
+
+
+def encode_tiff(
+    w: int,
+    h: int,
+    px: bytes,
+    channels: int = 3,
+    *,
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+    predictor: int = 1,
+) -> bytes:
+    """Baseline TIFF writer (gray spp=1 or RGB spp=3, 8-bit, strip
+    layout, compression 1/5/32773, optional horizontal-differencing
+    predictor with LZW) — fixture generator for ``_decode_tiff``."""
+    e = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    stride = w * channels
+    strips = []
+    for row0 in range(0, h, rps):
+        nrows = min(rps, h - row0)
+        seg = bytearray(px[row0 * stride : (row0 + nrows) * stride])
+        if predictor == 2:
+            for y in range(nrows):
+                base = y * stride
+                for i in range(stride - 1, channels - 1, -1):
+                    seg[i + base] = (seg[i + base] - seg[i + base - channels]) & 0xFF
+        seg = bytes(seg)
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(seg))
+        elif compression == 32773:
+            strips.append(_packbits_encode(seg))
+        else:
+            strips.append(seg)
+    header = struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, 8)
+    # layout: header(8) | IFD | bits array | strip data
+    tags = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, channels, None),  # BitsPerSample (array if >1)
+        (259, 3, 1, compression),
+        (262, 3, 1, 1 if channels == 1 else 2),
+        (273, 4, len(strips), None),  # StripOffsets
+        (277, 3, 1, channels),
+        (278, 3, 1, rps),
+        (279, 4, len(strips), None),  # StripByteCounts
+        (317, 3, 1, predictor),
+    ]
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(tags) + 4
+    extra_off = ifd_off + ifd_len
+    extra = bytearray()
+
+    def alloc(fmt_vals: bytes) -> int:
+        nonlocal extra
+        off = extra_off + len(extra)
+        extra += fmt_vals
+        return off
+
+    bits_ptr = None
+    if channels > 1:
+        bits_ptr = alloc(struct.pack(e + "H" * channels, *([8] * channels)))
+    # reserve the strip offset/count arrays if >1 strip
+    offs_ptr = counts_ptr = None
+    if len(strips) > 1:
+        offs_ptr = alloc(b"\x00" * 4 * len(strips))
+        counts_ptr = alloc(b"\x00" * 4 * len(strips))
+    strip_data_off = extra_off + len(extra)
+    offsets = []
+    o = strip_data_off
+    for s in strips:
+        offsets.append(o)
+        o += len(s)
+    if len(strips) > 1:
+        struct.pack_into(e + "I" * len(strips), extra, offs_ptr - extra_off, *offsets)
+        struct.pack_into(
+            e + "I" * len(strips), extra, counts_ptr - extra_off,
+            *[len(s) for s in strips],
+        )
+    ifd = struct.pack(e + "H", len(tags))
+    for tag, typ, cnt, val in tags:
+        if tag == 258:
+            if channels == 1:
+                ifd += struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(e + "HH", 8, 0)
+            else:
+                ifd += struct.pack(e + "HHII", tag, typ, cnt, bits_ptr)
+        elif tag == 273:
+            if len(strips) == 1:
+                ifd += struct.pack(e + "HHII", tag, typ, 1, offsets[0])
+            else:
+                ifd += struct.pack(e + "HHII", tag, typ, cnt, offs_ptr)
+        elif tag == 279:
+            if len(strips) == 1:
+                ifd += struct.pack(e + "HHII", tag, typ, 1, len(strips[0]))
+            else:
+                ifd += struct.pack(e + "HHII", tag, typ, cnt, counts_ptr)
+        elif typ == 3:
+            ifd += struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(e + "HH", val, 0)
+        else:
+            ifd += struct.pack(e + "HHII", tag, typ, cnt, val)
+    ifd += struct.pack(e + "I", 0)  # next IFD
+    assert len(ifd) == ifd_len
+    return header + ifd + bytes(extra) + b"".join(strips)

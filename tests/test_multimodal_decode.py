@@ -861,3 +861,135 @@ def test_png_adam7_interlace_roundtrip():
         assert decode_image_real(blob) == decode_image_real(want_plain), (
             w, h, ctype, depth,
         )
+
+
+def test_tiff_roundtrip_matrix():
+    """TIFF: both byte orders × {none, LZW, PackBits} × single/multi
+    strip × LZW horizontal-differencing predictor, RGB and gray."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import encode_tiff
+
+    r = np.random.default_rng(5)
+    img = r.integers(0, 256, (11, 13, 3)).astype(np.uint8)
+    rgb = img.tobytes()
+    for comp in (1, 5, 32773):
+        for be in (False, True):
+            for rps in (None, 4):
+                preds = (1, 2) if comp == 5 else (1,)
+                for pred in preds:
+                    blob = encode_tiff(
+                        13, 11, rgb, 3,
+                        compression=comp, big_endian=be,
+                        rows_per_strip=rps, predictor=pred,
+                    )
+                    assert decode_image_real(blob) == (13, 11, 3, rgb), (
+                        comp, be, rps, pred,
+                    )
+    gray = r.integers(0, 256, (7, 9)).astype(np.uint8).tobytes()
+    for comp in (1, 5, 32773):
+        blob = encode_tiff(9, 7, gray, 1, compression=comp)
+        assert decode_image_real(blob) == (9, 7, 1, gray)
+
+
+def test_tiff_lzw_spec_width_schedule():
+    """Spec-pinned TIFF LZW: hand-packed MSB-first code stream with
+    the EARLY width change — after 253 table adds (table size 511 =
+    2^9-1) the very next code must be read at 10 bits."""
+    from firefly_vcut_spark.operators.multimodal import _tiff_lzw_decode
+
+    codes = [(256, 9)]  # CLEAR
+    # 254 literal codes: 0, 1, 0, 1, ... → adds begin at the 2nd code;
+    # after the 254th code the decoder has made 253 adds → table 511
+    for i in range(254):
+        codes.append((i % 2, 9))
+    # early change: THIS code is read at 10 bits
+    codes.append((5, 10))
+    codes.append((257, 10))  # EOI
+    acc = nbits = 0
+    out = bytearray()
+    for c, wdt in codes:
+        acc = (acc << wdt) | c
+        nbits += wdt
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    got = _tiff_lzw_decode(bytes(out), 255)
+    assert got == bytes([i % 2 for i in range(254)] + [5])
+
+
+def test_tiff_lzw_table_full_clear_roundtrip():
+    """Random data long enough to fill the 12-bit table: the encoder's
+    CLEAR reset must keep both sides lossless."""
+    import numpy as np
+
+    from firefly_vcut_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    r = np.random.default_rng(8)
+    data = bytes(r.integers(0, 256, 40000).tolist())
+    assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+
+def test_tiff_palette_and_whiteiszero():
+    """Photometric 3 (16-bit ColorMap → high byte) and 0 (WhiteIsZero
+    inverts) paths, via a hand-built IFD."""
+    import struct as st
+
+    from firefly_vcut_spark.operators.multimodal import _decode_tiff
+
+    # 3x2 palette image, indices 0..2, colormap reds/greens/blues
+    w, h = 3, 2
+    idx = bytes([0, 1, 2, 2, 1, 0])
+    cmap = (
+        [0xFF00, 0x1200, 0x0000]  # R plane (hi bytes FF, 12, 00)
+        + [0x0000, 0x3400, 0x0000]  # G
+        + [0x0000, 0x5600, 0xAB00]  # B
+    )
+    e = "<"
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 3), (273, 4, 1, None), (277, 3, 1, 1), (278, 3, 1, h),
+        (279, 4, 1, len(idx)), (320, 3, 9, None),
+    ]
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(tags) + 4
+    cmap_off = ifd_off + ifd_len
+    data_off = cmap_off + 2 * len(cmap)
+    ifd = st.pack(e + "H", len(tags))
+    for tag, typ, cnt, val in tags:
+        if tag == 273:
+            ifd += st.pack(e + "HHII", tag, typ, 1, data_off)
+        elif tag == 320:
+            ifd += st.pack(e + "HHII", tag, typ, cnt, cmap_off)
+        elif typ == 3:
+            ifd += st.pack(e + "HHI", tag, typ, cnt) + st.pack(e + "HH", val, 0)
+        else:
+            ifd += st.pack(e + "HHII", tag, typ, cnt, val)
+    ifd += st.pack(e + "I", 0)
+    blob = (
+        st.pack(e + "2sHI", b"II", 42, 8)
+        + ifd
+        + st.pack(e + "H" * len(cmap), *cmap)
+        + idx
+    )
+    gw, gh, gc, px = _decode_tiff(blob)
+    assert (gw, gh, gc) == (w, h, 3)
+    assert px[0:3] == bytes([0xFF, 0, 0])
+    assert px[3:6] == bytes([0x12, 0x34, 0x56])
+    assert px[6:9] == bytes([0, 0, 0xAB])
+    # WhiteIsZero gray
+    from firefly_vcut_spark.operators.multimodal import encode_tiff
+
+    gray = bytes([0, 128, 255, 7])
+    blob = bytearray(encode_tiff(2, 2, gray, 1))
+    # photometric tag (262) value: flip 1 → 0 in the IFD entry
+    i = blob.find(st.pack("<HH", 262, 3))
+    assert i > 0
+    st.pack_into("<HH", blob, i + 8, 0, 0)
+    gw, gh, gc, px = _decode_tiff(bytes(blob))
+    assert list(px) == [255 - v for v in gray]
