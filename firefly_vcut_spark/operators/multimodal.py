@@ -2423,3 +2423,35 @@ def encode_tiff(
     ifd += struct.pack(e + "I", 0)  # next IFD
     assert len(ifd) == ifd_len
     return header + ifd + bytes(extra) + b"".join(strips)
+
+
+def encode_synthetic_tiff(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, blob): each doc's synthetic_pixels pattern
+    in a real baseline TIFF — compression rotates none/LZW/PackBits
+    by doc_id so every codec path runs corpus-wide, LZW docs also
+    rotate the horizontal-differencing predictor."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 9, 6 + i % 5
+                comp = (1, 5, 32773)[i % 3]
+                blobs.append(
+                    encode_tiff(
+                        w,
+                        h,
+                        synthetic_pixels(i, w, h),
+                        3,
+                        compression=comp,
+                        big_endian=(i % 2 == 1),
+                        rows_per_strip=3 if i % 5 == 0 else None,
+                        predictor=2 if comp == 5 and i % 2 == 0 else 1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )

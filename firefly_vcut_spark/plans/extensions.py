@@ -1367,6 +1367,54 @@ def mm_real_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_tiff_decode_roundtrip",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM dims
+    ),
+    v AS (
+      SELECT doc_id, w, h,
+             ((((i // 3) % w) * 7 + (i // (3 * w)) * 31
+               + (i % 3) * 101 + doc_id) % 256) AS val
+      FROM px
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_pixel
+    FROM v GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "extension", "udf"),
+)
+def mm_tiff_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF round-trip inside the engine: the SAME deterministic
+    pixel pattern as mm_real_decode_roundtrip, but carried through
+    real baseline TIFF containers with the compression rotating
+    none/LZW/PackBits by doc_id (LZW half with the differencing
+    predictor, byte order alternating II/MM, some multi-strip) — the
+    whole strip/LZW/PackBits matrix exercised corpus-wide under one
+    closed-form DuckDB oracle."""
+    from firefly_vcut_spark.operators.multimodal import (
+        decode_features_real,
+        encode_synthetic_tiff,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = decode_features_real(encode_synthetic_tiff(d))
+    return feats.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("mean_pixel").cast("double").alias("mean_pixel"),
+    )
+
+
+@query(
     "mm_gif_decode_roundtrip",
     sql="""
     WITH dims AS (
