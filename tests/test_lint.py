@@ -104,6 +104,7 @@ _LINT_ALLOW: dict[str, set[str]] = {
     "dedup_lsh_then_verify": {"exchange-count", "sort-merge-join"},  # big-big SMJ: candidate-pair text join; LSH chain is multi-stage
     "fjson_props_extract": {"unpushed-filter"},  # expr-filter: get_json_object derivation
     "q8_market_share": {"exchange-count"},  # multi-stage: 6-table star + year rollup
+    "search_bm25_topk": {"exchange-count"},  # multi-stage by design: tf/dl/df rollups off one cached aggregate + doc-keyed score join + per-term rank window; dl is O(docs) so it must stay a keyed join (not broadcast) at scale
     "text_nb_langid_confusion": {"exchange-count"},  # multi-stage: train/apply/confusion passes
     "win_rolling_active_users": {"unpushed-filter"},  # expr-filter: date_trunc(ts) join key
 }
