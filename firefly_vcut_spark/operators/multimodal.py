@@ -1496,8 +1496,19 @@ REAL_DECODED_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType()),
         T.StructField("mean_pixel", T.DoubleType()),
         T.StructField("pixel_checksum", T.StringType()),
+        # position-weighted checksum sum(px[i]*(i+1)) mod 2^31-1: unlike
+        # the mean (invariant under any pixel permutation) this moves if
+        # a row-order/interlace regression permutes pixels, and a DuckDB
+        # oracle can recompute it closed-form (md5 of binary cannot)
+        T.StructField("pos_checksum", T.LongType()),
     ]
 )
+
+_POS_MOD = 2**31 - 1
+
+
+def _pos_checksum(px: bytes) -> int:
+    return sum(v * (i + 1) for i, v in enumerate(px)) % _POS_MOD
 
 
 def encode_synthetic_ppm(docs: DataFrame) -> DataFrame:
@@ -1540,6 +1551,7 @@ def decode_features_real(blobs: DataFrame) -> DataFrame:
                     round(sum(px) / len(px), 6) if px else 0.0
                 )
                 out["pixel_checksum"].append(hashlib.md5(px).hexdigest())
+                out["pos_checksum"].append(_pos_checksum(px))
             yield pd.DataFrame(out)
 
     return blobs.select("doc_id", "blob").mapInPandas(kernel, REAL_DECODED_SCHEMA)
@@ -1986,11 +1998,15 @@ def _decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
                     ]
                 idx = bytes(rows)
             n_colors = len(ct) // 3
+            # background index is defined against the GLOBAL color table
+            # (GIF89a §18), never a frame's local table
             bg = (
-                ct[3 * bg_idx : 3 * bg_idx + 3]
+                gct[3 * bg_idx : 3 * bg_idx + 3]
                 if gct is not None and bg_idx < len(gct) // 3
                 else b"\x00\x00\x00"
             )
+            if len(bg) < 3:
+                bg = b"\x00\x00\x00"
             canvas = bytearray(bg * (w * h))
             for fy in range(ih):
                 y = top + fy
@@ -2228,6 +2244,11 @@ def _packbits_encode(data: bytes) -> bytes:
             while i + run < n and run < 128 and data[i + run] == data[i]:
                 run += 1
             if run >= 3:
+                break
+            # a short run may not push the literal past 128 bytes: header
+            # byte 128 is the PackBits no-op, so a 129-byte literal would
+            # be misparsed by every conforming decoder
+            if i - lit_start + run > 128:
                 break
             i += run
         out += bytes([i - lit_start - 1]) + data[lit_start:i]

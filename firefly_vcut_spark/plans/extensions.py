@@ -1328,7 +1328,7 @@ def _mm_frame_sql(n_frames: int = 4) -> str:
       SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM dims
     ),
     v AS (
-      SELECT doc_id, w, h,
+      SELECT doc_id, w, h, i,
              ((((i // 3) % w) * 7 + (i // (3 * w)) * 31
                + (i % 3) * 101 + doc_id) % 256) AS val
       FROM px
@@ -1337,7 +1337,8 @@ def _mm_frame_sql(n_frames: int = 4) -> str:
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
            CAST(3 AS INTEGER) AS channels,
-           round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_pixel
+           round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_pixel,
+           CAST(sum(val * (i + 1)) % 2147483647 AS BIGINT) AS pos_checksum
     FROM v GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "extension", "udf"),
@@ -1363,6 +1364,7 @@ def mm_real_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         F.col("channels").cast("int").alias("channels"),
         F.col("mean_pixel").cast("double").alias("mean_pixel"),
+        F.col("pos_checksum").cast("bigint").alias("pos_checksum"),
     )
 
 
@@ -1376,7 +1378,7 @@ def mm_real_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM dims
     ),
     v AS (
-      SELECT doc_id, w, h,
+      SELECT doc_id, w, h, i,
              ((((i // 3) % w) * 7 + (i // (3 * w)) * 31
                + (i % 3) * 101 + doc_id) % 256) AS val
       FROM px
@@ -1385,7 +1387,8 @@ def mm_real_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
            CAST(3 AS INTEGER) AS channels,
-           round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_pixel
+           round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_pixel,
+           CAST(sum(val * (i + 1)) % 2147483647 AS BIGINT) AS pos_checksum
     FROM v GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "extension", "udf"),
@@ -1411,6 +1414,7 @@ def mm_tiff_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         F.col("channels").cast("int").alias("channels"),
         F.col("mean_pixel").cast("double").alias("mean_pixel"),
+        F.col("pos_checksum").cast("bigint").alias("pos_checksum"),
     )
 
 
@@ -1424,13 +1428,13 @@ def mm_tiff_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, w, h, unnest(range(w * h * 3)) AS i FROM dims
     ),
     v AS (
-      SELECT doc_id, w, h,
+      SELECT doc_id, w, h, i,
              ((((i // 3) % w) * 7 + (i // (3 * w)) * 31 + doc_id) % 16) AS ci,
              (i % 3) AS ch
       FROM px
     ),
     val AS (
-      SELECT doc_id, w, h,
+      SELECT doc_id, w, h, i,
              (ci * CASE ch WHEN 0 THEN 17 WHEN 1 THEN 53 ELSE 97 END) % 256
                AS pv
       FROM v
@@ -1439,7 +1443,8 @@ def mm_tiff_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
            CAST(3 AS INTEGER) AS channels,
-           round(CAST(sum(pv) AS DOUBLE) / count(*), 6) AS mean_pixel
+           round(CAST(sum(pv) AS DOUBLE) / count(*), 6) AS mean_pixel,
+           CAST(sum(pv * (i + 1)) % 2147483647 AS BIGINT) AS pos_checksum
     FROM val GROUP BY doc_id, w, h
     """,
     tags=("multimodal", "extension", "udf"),
@@ -1450,8 +1455,11 @@ def mm_gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 3rd doc interlaced), decoded back by the from-scratch
     decoder, and reduced to features. Pixels are a pure function of
     (doc_id, x, y, c), so DuckDB recomputes the expected dims/mean
-    without touching a codec — one wrong byte anywhere in the
-    LZW/interlace path moves the mean."""
+    without touching a codec. The mean pins the LZW byte stream (any
+    wrong byte moves it) but is invariant under pixel permutation, so
+    the oracle ALSO checks pos_checksum = sum(px[i]*(i+1)) mod 2^31-1,
+    which a row-order/interlace regression (e.g. a swapped pass in
+    _interlace_order) cannot leave fixed."""
     from firefly_vcut_spark.operators.multimodal import (
         decode_features_real,
         encode_synthetic_gif,
@@ -1465,6 +1473,7 @@ def mm_gif_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int").alias("height"),
         F.col("channels").cast("int").alias("channels"),
         F.col("mean_pixel").cast("double").alias("mean_pixel"),
+        F.col("pos_checksum").cast("bigint").alias("pos_checksum"),
     )
 
 

@@ -234,6 +234,9 @@ def test_decode_features_real_kernel(spark):
         assert (r.width, r.height, r.channels) == (w, h, ch)
         assert r.pixel_checksum == hashlib.md5(px).hexdigest()
         assert r.mean_pixel == round(sum(px) / len(px), 6)
+        assert r.pos_checksum == sum(
+            v * (j + 1) for j, v in enumerate(px)
+        ) % (2**31 - 1)
 
 
 # --- real WAV container (r4) ---
@@ -664,6 +667,39 @@ def test_gif_decode_dispatch_and_transparency_composition():
     assert got == want
 
 
+def test_gif_background_from_global_table_not_local():
+    """Regression: the background index is defined against the GLOBAL
+    color table (GIF89a §18). A frame carrying a LOCAL table shorter
+    than bg_idx must not change the background — slicing the local
+    table would return <3 bytes and corrupt the canvas length."""
+    import struct as st
+
+    from firefly_vcut_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_image_real,
+    )
+
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", 3, 2, 0x80 | 0x01, 3, 0)  # screen 3x2, GCT 4, bg=3
+    out += bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9]
+    )  # GCT: red, green, blue, grey(=bg idx 3)
+    # 1x1 frame at (0,0) with a LOCAL 2-color table (bg_idx 3 out of range)
+    out += st.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0x80 | 0x00)
+    out += bytes([1, 2, 3, 4, 5, 6])  # local table: 2 colors
+    out.append(2)
+    lzw = _gif_lzw_encode(bytes([1]), 2)
+    out.append(len(lzw))
+    out += lzw
+    out += b"\x00\x3b"
+    w, h, c, px = decode_image_real(bytes(out))
+    assert (w, h, c) == (3, 2, 3)
+    assert len(px) == 3 * 2 * 3
+    got = [tuple(px[3 * i : 3 * i + 3]) for i in range(6)]
+    # pixel (0,0) from the local table; the rest is GCT background grey
+    assert got == [(4, 5, 6)] + [(9, 9, 9)] * 5
+
+
 def test_gif_roundtrip_property():
     """Hypothesis: any small palettized image (any palette size 1-256,
     any dims, interlaced or not) round-trips encode_gif → decode
@@ -697,6 +733,40 @@ def test_gif_roundtrip_property():
         )
 
     roundtrip()
+
+
+def test_packbits_roundtrip_property():
+    """Hypothesis: arbitrary byte strings round-trip _packbits_encode →
+    _packbits_decode, and the encoder never emits the 128 no-op header
+    (the regression class: a literal overgrown to 129 bytes by a
+    trailing run-of-2 at offset 127 encodes header byte 128, which a
+    conforming decoder skips, desyncing everything after it)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from firefly_vcut_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    # low-alphabet bytes maximize run/literal boundary interleavings
+    @settings(max_examples=200, deadline=None)
+    @given(data=st.binary(max_size=600).map(lambda b: bytes(v % 4 for v in b)))
+    def roundtrip(data):
+        enc = _packbits_encode(data)
+        assert _packbits_decode(enc, len(data)) == data
+        p = 0
+        while p < len(enc):
+            hdr = enc[p]
+            assert hdr != 128
+            p += 2 if hdr > 128 else hdr + 2
+        assert p == len(enc)
+
+    roundtrip()
+
+    # the exact advice repro: 127 non-repeating bytes then a run of 2
+    tail = bytes(range(127)) + b"\xff\xff"
+    assert _packbits_decode(_packbits_encode(tail), len(tail)) == tail
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
