@@ -59,6 +59,40 @@ def test_early_stop_when_no_pairs_remain(spark):
     assert train_bpe(words, 5) == []
 
 
+def test_checkpoint_interval_does_not_change_merges(spark):
+    """The rep checkpoint (depth bound) is a pure materialization:
+    any checkpoint_every — including every round, and never — must
+    learn the identical merge table."""
+    words = _words(
+        spark,
+        [("banana", 7), ("bandana", 5), ("ananas", 3), ("cabana", 2)],
+    )
+    baseline = train_bpe(words, 10, checkpoint_every=10**9)
+    assert len(baseline) >= 6  # enough rounds to cross B=1,2,3 blocks
+    for every in (1, 2, 3):
+        assert train_bpe(words, 10, checkpoint_every=every) == baseline
+
+
+def test_rep_table_blocks_equal_single_projection(spark):
+    """rep_table with mid-list checkpoints produces byte-identical
+    reps to the one-shot chained replace."""
+    from firefly_vcut_spark.operators.bpe import rep_table
+
+    words = _words(spark, [("banana", 7), ("bandana", 5), ("ananas", 3)])
+    merges = [(m["a"], m["b"]) for m in train_bpe(words, 8)]
+    assert len(merges) >= 5
+    one = {
+        r["word"]: r["rep"]
+        for r in rep_table(words, merges, checkpoint_every=10**9).collect()
+    }
+    for every in (1, 2):
+        blocked = {
+            r["word"]: r["rep"]
+            for r in rep_table(words, merges, checkpoint_every=every).collect()
+        }
+        assert blocked == one
+
+
 def test_vocab_stats_counts_merged_symbols(spark):
     words = _words(spark, [("abab", 2), ("ab", 1)])
     merges = train_bpe(words, 1)  # learns (a, b) with weight 5
