@@ -376,3 +376,47 @@ def test_temperature_mixture_upweights_small_sources(spark, sf_dir):
     small = min(rows, key=lambda r: r.n_docs)
     if big.n_docs > 2 * small.n_docs and small.k_target > 0:
         assert small.k_target / small.n_docs > big.k_target / big.n_docs
+
+
+def test_decontamination_finds_every_eligible_planted_twin(spark):
+    """Every planted twin whose eval source has >= 13 tokens must be
+    flagged with ALL of that doc's distinct 13-grams shared; an
+    eval doc shorter than 13 tokens has no grams, so its twin is
+    (correctly) invisible to a 13-gram scan."""
+    from firefly_vcut_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["train_id"]: r
+        for r in all_queries()["corpus_decontaminate_vs_eval"]
+        .fn(spark, sf)
+        .collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    expect = con.execute(
+        r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)),
+                                '\s+', ' ', 'g'), ' ') AS toks
+            FROM documents WHERE doc_id % 51 = 3
+        )
+        SELECT doc_id, count(DISTINCT array_to_string(toks[i:i+12], ' ')) AS n
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - 11, 1))) AS i
+              FROM t)
+        GROUP BY doc_id
+        """
+    ).fetchall()
+    eligible = {doc_id: n for doc_id, n in expect if n > 0}
+    assert eligible, "fixture must plant at least one eligible twin"
+    for doc_id, n_grams in eligible.items():
+        row = out.get(doc_id + 10_000_000)
+        assert row is not None, f"planted twin of {doc_id} not flagged"
+        assert row["n_shared_grams"] == n_grams
+        assert row["n_eval_docs"] >= 1

@@ -355,3 +355,18 @@ def test_rag_retrieval_broadcasts_queries_and_id_joins_text(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rag_context_assembly")
     assert "BroadcastNestedLoopJoin BuildRight" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontamination_broadcasts_eval_grams_no_text_shuffle(spark, sf_dir):
+    """Decontamination: the eval gram-key set broadcasts (a real
+    benchmark suite is O(fixed) next to the corpus), the overlap join
+    is never a cartesian, and no exchange carries document text —
+    only 16-hex gram keys and ids shuffle."""
+    import re
+
+    plan = _plan(spark, sf_dir, "corpus_decontaminate_vs_eval")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m
