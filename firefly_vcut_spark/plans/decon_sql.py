@@ -11,6 +11,13 @@ shifted id. The detector must re-find exactly those twins (plus any
 genuine exact-dup leakage the corpus already contains), and the
 DuckDB oracle replays the whole pipeline closed-form.
 
+Relation to ``corpus_decontaminate`` (pipeline_ops.py): that one is
+the lightweight 4-gram containment pass over raw gram strings; this
+is the r6-verdict-specified heavy variant — 13-gram (the published
+decontamination width), PLANTED contaminated twins whose recall is
+pinned by test, and a hashed-gram join so no exchange ever carries
+text.
+
 Reference scope note: the reference (firefly-vcut) has no
 decontamination stage; this belongs to the training-data surface the
 brief adds on top (dedup/selection/leakage family).

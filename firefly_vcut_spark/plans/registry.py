@@ -114,16 +114,16 @@ def _load_all() -> None:
 _FRONT50 = [
     "s1_scan_pushdown",
     "s2_nested_transcript_roundtrip",
-    "s3_partition_columns",
+    "mm_gif_decode_roundtrip",
     "j1_join_archive_profile",
     "j2_join_3way_chain",
     "j7_anti_join_unknown_bvids",
-    "j9_zip_join_paired_arrays",
+    "mm_tiff_decode_roundtrip",
     "j10_update_join",
     "a1_watermarks_per_profile",
     "a3_array_agg_song_bridge",
     "a4_argmax_best_event",
-    "a5_scalar_accumulators",
+    "corpus_dsir_select",
     "a6_upsert_last_wins",
     "t1_topk_recent_archives",
     "set_union_accumulate",
@@ -131,7 +131,7 @@ _FRONT50 = [
     "q3_order_revenue",
     "q6_forecast_revenue",
     "f1_regex_title_date",
-    "f2_bracket_title_extract",
+    "text_bpe_merges",
     "f6_epoch_shanghai_parts",
     "fjson_props_extract",
     "w1_flagship_occurrence_scan",
@@ -141,7 +141,7 @@ _FRONT50 = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "search_bm25_topk",
-    "dedup_lsh_then_verify",
+    "corpus_decontaminate_vs_eval",
     "er_blocked_name_match",
     "layout_zorder_files",
     "ann_bruteforce_topk",
