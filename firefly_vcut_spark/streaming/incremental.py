@@ -776,10 +776,18 @@ def write_heavy_hitters_sink(
 
     Candidate semantics: a key enters the pool in any batch where it
     appears; it survives while its full-history CMS estimate stays in
-    the top ``pool``. A true heavy hitter appears in some batch and
-    its estimate only grows, so with pool margin over k the final
-    top-k equals the batch twin's on separated data (asserted in
-    tests/test_streaming_sketch.py).
+    the top ``pool``. With COLLISION-STABLE estimates the pool is
+    sound for any k ≤ pool (an evicted-and-gone key was outranked by
+    ≥pool keys whose estimates only grow, so it can't belong to the
+    true top-pool). The boundary is a slow riser whose estimate is
+    inflated AFTER eviction by later traffic into its buckets: it can
+    enter the batch twin's top-k while no longer being scored. The
+    pool margin over k absorbs exactly that — both sides of the
+    boundary are pinned by construction in
+    tests/test_streaming_sketch.py::test_heavy_hitters_pool_at_k_misses_slow_riser
+    (pool == k loses a rigged riser) and
+    ::test_heavy_hitters_pool_margin_keeps_slow_riser (one margin
+    slot restores stream == batch).
 
     Returns ``store_root``; query with ``read_heavy_hitters``."""
     from firefly_vcut_spark.operators.sketches import (

@@ -281,3 +281,133 @@ def test_heavy_hitters_batch0_redelivery_no_double_count(spark, tmp_path):
     write_heavy_hitters_sink(replay, root, ck, key_col="user_id", k=5)
     s2 = [tuple(r) for r in read_heavy_hitters(spark, root, k=5).collect()]
     assert s1 == s2 and len(s1) == 5
+
+
+def _ordered_batches(spark, tmp_path, batches):
+    """Write each batch as ONE parquet file with strictly increasing
+    mtimes and lexicographic names, so maxFilesPerTrigger=1 delivers
+    them in exactly this order (FileStreamSource sorts by timestamp,
+    then path)."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "ordered_src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long"
+        ).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{i:02d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    return (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+
+
+def _hh_batch_twin(spark, tmp_path, k, depth, width):
+    from firefly_vcut_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+
+    batch = spark.read.parquet(str(tmp_path / "ordered_src"))
+    cms = cms_table(batch, "user_id", depth, width)
+    est = cms_point_estimates(
+        batch.select("user_id").distinct(), cms, "user_id", depth, width
+    )
+    return [
+        (r["user_id"], r["cms_estimate"])
+        for r in est.orderBy(F.desc("cms_estimate"), F.asc("user_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
+def _slow_riser_batches():
+    """Adversarial slow-riser stream for the pool-margin boundary,
+    rigged on the depth=1/width=8 portable-CMS bucket map (keys 2 and
+    13 COLLIDE; 9, 7, 3 land in three other distinct buckets):
+
+    - S=2 appears only in batch 0 (count 5) — the slow riser;
+    - blockers 9, 7, 3 appear in every batch (count 100 each), so S is
+      outranked by exactly 3 keys whenever it is scored;
+    - H=13 arrives in batch 2 with count 10000; sharing S's bucket, it
+      inflates S's FINAL estimate to ~10005, putting S in the batch
+      twin's top-3 even though S was (correctly, at the time) dropped
+      from a 3-slot pool after batch 0."""
+    eid = [0]
+
+    def ev(u, n):
+        out = []
+        for _ in range(n):
+            out.append((eid[0], u))
+            eid[0] += 1
+        return out
+
+    return [
+        ev(2, 5) + ev(9, 100) + ev(7, 100) + ev(3, 100),
+        ev(9, 100) + ev(7, 100) + ev(3, 100),
+        ev(13, 10000) + ev(9, 100) + ev(7, 100) + ev(3, 100),
+    ]
+
+
+def test_heavy_hitters_pool_at_k_misses_slow_riser(spark, tmp_path):
+    """FAILURE MODE, pinned (r6 verdict task 6): with zero pool margin
+    (pool == k) a slow riser evicted on its then-small estimate cannot
+    re-enter after later traffic (here a rigged bucket collision)
+    raises its full-history estimate above the pool bar — the stream
+    answer misses a key the batch twin ranks in its top-k."""
+    from firefly_vcut_spark.streaming.incremental import (
+        read_heavy_hitters,
+        write_heavy_hitters_sink,
+    )
+
+    stream = _ordered_batches(spark, tmp_path, _slow_riser_batches())
+    root = str(tmp_path / "store")
+    write_heavy_hitters_sink(
+        stream, root, str(tmp_path / "ck"),
+        key_col="user_id", k=3, pool=3, depth=1, width=8,
+    )
+    got = [
+        (r["user_id"], r["cms_estimate"])
+        for r in read_heavy_hitters(
+            spark, root, k=3, depth=1, width=8
+        ).collect()
+    ]
+    want = _hh_batch_twin(spark, tmp_path, k=3, depth=1, width=8)
+    assert 2 in {u for u, _ in want}, "fixture: S must make the batch top-3"
+    assert 2 not in {u for u, _ in got}, "S must be lost at pool == k"
+    assert got != want
+
+
+def test_heavy_hitters_pool_margin_keeps_slow_riser(spark, tmp_path):
+    """GUARANTEE side: one slot of pool margin (pool = k + #keys that
+    ever simultaneously outrank the riser = 3 + 1) keeps S scored every
+    batch, so its collision-inflated final estimate is seen at read
+    time and stream == batch twin exactly."""
+    from firefly_vcut_spark.streaming.incremental import (
+        read_heavy_hitters,
+        write_heavy_hitters_sink,
+    )
+
+    stream = _ordered_batches(spark, tmp_path, _slow_riser_batches())
+    root = str(tmp_path / "store")
+    write_heavy_hitters_sink(
+        stream, root, str(tmp_path / "ck"),
+        key_col="user_id", k=3, pool=4, depth=1, width=8,
+    )
+    got = [
+        (r["user_id"], r["cms_estimate"])
+        for r in read_heavy_hitters(
+            spark, root, k=3, depth=1, width=8
+        ).collect()
+    ]
+    want = _hh_batch_twin(spark, tmp_path, k=3, depth=1, width=8)
+    assert 2 in {u for u, _ in got}
+    assert got == want
