@@ -112,6 +112,28 @@ def test_zorder_write_prune_read_roundtrip(spark, sf_dir, tmp_path):
     assert "file_id" in plan.split("PartitionFilters:")[1].splitlines()[0]
 
 
+def test_pruning_compare_layout_ordering(spark):
+    """The comparison the query exists to make: z-order prunes BOTH
+    single-dimension probes; linear prunes only its sort dimension (a
+    vb probe scans every file and every row); unclustered prunes
+    neither. Pinned to sf0.01: the probe bands need a populated
+    user_id range ≥ 80 (sf0.001 tops out at 14, where every layout
+    degenerates to a handful of full-span files and there is nothing
+    to compare)."""
+    sf_dir = "/root/testdata/sf0.01"
+    rows = {r.layout: r for r in QS["layout_pruning_compare"].fn(spark, sf_dir).collect()}
+    z, lin, unc = rows["zorder"], rows["linear_ub"], rows["unclustered"]
+    # unclustered: every probe touches every file
+    assert unc.ub_files == unc.n_files and unc.vb_files == unc.n_files
+    # linear on ub: great on ub, useless on vb
+    assert lin.ub_files <= max(2, lin.n_files // 4)
+    assert lin.vb_files == lin.n_files and lin.vb_rows == unc.vb_rows
+    # z-order: strictly prunes BOTH dimensions (files AND rows)
+    assert z.ub_files < z.n_files and z.vb_files < z.n_files
+    assert z.vb_files <= max(4, z.n_files // 4)  # structural vb confinement
+    assert z.vb_rows < lin.vb_rows and z.ub_rows < unc.ub_rows
+
+
 def test_zvalue_sql_exhaustive_low_bits():
     """Exhaustive 4-bit interleave check (256 pairs) plus the 8-bit
     corners, against the Python reference — both engines share this

@@ -11,7 +11,7 @@ done
 for name in w1_flagship_occurrence_scan w1_lev_approx_scan dedup_minhash_lsh \
             dedup_lsh_then_verify corpus_canonical_docs corpus_dedup_components \
             corpus_pack_sequences corpus_incremental_dedup dedup_winnow_pairs \
-            dedup_ngram_jaccard dedup_allpairs_prefix; do
+            dedup_ngram_jaccard dedup_allpairs_prefix mm_frame_sample; do
   if grep -q "\"name\": \"$name\"" SF1_SWEEP.jsonl 2>/dev/null; then continue; fi
   SF1_SWEEP_BUDGET=2700 timeout 2760 python tools/sf1_sweep.py --one "$name"
   if ! grep -q "\"name\": \"$name\"" SF1_SWEEP.jsonl 2>/dev/null; then
