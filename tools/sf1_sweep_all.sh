@@ -11,11 +11,13 @@ for attempt in 1 2 3 4 5 6 7 8; do
   echo "bulk attempt $attempt: $left queries left"
   python tools/sf1_sweep.py
 done
-for name in w1_flagship_occurrence_scan w1_lev_approx_scan dedup_minhash_lsh \
-            dedup_lsh_then_verify corpus_canonical_docs corpus_dedup_components \
-            corpus_pack_sequences corpus_incremental_dedup dedup_winnow_pairs \
-            dedup_ngram_jaccard dedup_allpairs_prefix mm_frame_sample \
-            corpus_cluster_safe_split; do
+# cheapest expected ORACLE wall first, so a tight session budget
+# verifies the most queries before hitting the quadratic stragglers
+for name in corpus_pack_sequences dedup_winnow_pairs dedup_ngram_jaccard \
+            dedup_allpairs_prefix corpus_incremental_dedup dedup_minhash_lsh \
+            dedup_lsh_then_verify corpus_canonical_docs corpus_cluster_safe_split \
+            corpus_dedup_components mm_frame_sample w1_lev_approx_scan \
+            w1_flagship_occurrence_scan; do
   if grep -q "\"name\": \"$name\"" SF1_SWEEP.jsonl 2>/dev/null; then continue; fi
   SF1_SWEEP_BUDGET=2700 timeout 2760 python tools/sf1_sweep.py --one "$name"
   if ! grep -q "\"name\": \"$name\"" SF1_SWEEP.jsonl 2>/dev/null; then
