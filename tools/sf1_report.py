@@ -47,12 +47,19 @@ def main() -> None:
         print(f"| {st} | {len(rows)} | {names} |")
     passes = by_status.get("pass", [])
     oracle = [r for r in passes if r.get("kind") == "oracle"]
-    rows_only = [r for r in passes if r.get("kind") == "rows-only"]
+    rows_only = [r for r in passes if r.get("kind", "").startswith("rows-only")]
     walls = sorted(r["wall"] for r in passes)
     total = sum(walls)
+    scale_only = ", ".join(
+        f"{r['name']} ({r['wall']})"
+        for r in passes
+        if r.get("kind") == "rows-only-scale"
+    )
+    if scale_only:
+        print(f"| rows-only-scale (oracle infeasible at sf1) | | {scale_only} |")
     print(
         f"| pass | {len(passes)} | {len(oracle)} oracle-hash, "
-        f"{len(rows_only)} rows-only (no SQL twin); total {total:.0f}s, "
+        f"{len(rows_only)} rows-only; total {total:.0f}s, "
         f"median {walls[len(walls) // 2]:.1f}s, "
         f"slowest: "
         + ", ".join(
