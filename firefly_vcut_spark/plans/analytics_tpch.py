@@ -670,3 +670,248 @@ def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
+
+
+@query(
+    "q5_local_supplier_volume",
+    sql="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg", "analytics"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape — revenue from orders where the customer and the
+    supplier share a nation, per nation of one region. The same-nation
+    requirement is an extra equi-key on the supplier join, NOT a
+    post-filter: customer nationkey travels with the fact rows so the
+    supplier join condition is (suppkey, nationkey) and never fans out.
+    Shuffle plan at 100 TB: orders pre-filtered by date BEFORE its fact
+    join; nation+region fold into one broadcast dim; supplier
+    broadcasts; the only big exchange is lineitem⋈orders on orderkey.
+    Ref shape: TPC-H Q5 local supplier volume."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_pct",
+    sql="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("join", "agg", "analytics"),
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — promotion revenue share for one ship month:
+    conditional numerator over a common denominator in ONE aggregate
+    pass (the q8 discipline — no self-join, no second fact scan). The
+    month predicate pushes to the scan; part is a broadcast dim
+    carrying only (partkey, is-promo). Ref shape: TPC-H Q14."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(net), 4).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+           s.s_name,
+           r.total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    tags=("join", "agg", "subquery", "analytics"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — the supplier(s) with maximum quarterly revenue. The
+    scalar MAX subquery is a second aggregate over the SAME grouped
+    result (the q11 discipline): computed once, broadcast back as a
+    1-row join — never a re-scan of the fact, never a global sort. The
+    equality compares round(·,4) values on both sides so partial-agg
+    float order can't flip the argmax. At 100 TB the rev rollup is one
+    suppkey exchange; everything after is O(suppliers).
+    Ref shape: TPC-H Q15 top supplier (view + max)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "total_rev",
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    sql="""
+    SELECT c.c_name,
+           CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o.o_totalprice, 4) AS o_totalprice,
+           round(t.sum_qty, 4) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250) t
+      ON t.l_orderkey = o.o_orderkey
+    """,
+    tags=("join", "agg", "analytics"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — orders whose total quantity exceeds a threshold,
+    with their customers. The IN-subquery is the quantity rollup
+    itself, joined back (no DISTINCT pass, no semi-join then re-join).
+    The HAVING survivors are a tiny fraction of orders (threshold at
+    ~p99), so they BROADCAST into the orders scan and the orders⋈
+    customer join stays dim-broadcast too — zero fact-fact exchanges
+    after the one orderkey rollup. Quantities are small integral
+    doubles; their sums are exact, so the > threshold cut is
+    engine-stable. Ref shape: TPC-H Q18 large-volume customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    sql="""
+    WITH recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-08-01 00:00:00'
+    ),
+    cutoff AS (
+      SELECT round(avg(c_acctbal), 4) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 4) AS totacctbal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "anti", "agg", "analytics"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape — well-funded customers gone quiet: above-average
+    account balance AND no orders in the trailing year, rolled up by
+    market segment. (The classic phone-prefix predicate is adapted to
+    a recency window because every synthetic customer has SOME order —
+    the anti-join is only non-trivial against a date slice.) The
+    global-average scalar subquery is a 1-row broadcast, rounded to 4
+    on BOTH sides before the comparison so float partial-sum order
+    can't flip a borderline row. The NOT IN is a left-anti join whose
+    build side is the date-pruned distinct custkeys — at 100 TB that
+    distinct is one custkey exchange over a year of orders, then
+    broadcasts. Ref shape: TPC-H Q22 global sales opportunity."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp")
+    )
+    recent = o.select("o_custkey").distinct()
+    c = load_table(spark, sf_dir, "customer")
+    cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(recent), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
