@@ -764,7 +764,7 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q15_top_supplier",
+    "q15_max_revenue_supplier",
     sql="""
     WITH rev AS (
       SELECT l_suppkey,
@@ -782,7 +782,7 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "agg", "subquery", "analytics"),
 )
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_max_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 shape — the supplier(s) with maximum quarterly revenue. The
     scalar MAX subquery is a second aggregate over the SAME grouped
     result (the q11 discipline): computed once, broadcast back as a
