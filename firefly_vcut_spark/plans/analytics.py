@@ -947,3 +947,88 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(common.cast("long").alias("n_both"))
         .filter(F.col("n_both") > 0)
     )
+
+
+@query(
+    "agg_exact_quantile_twopass",
+    sql="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN value END) AS p50_exact,
+           max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN value END) AS p90_exact
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("agg", "percentile", "scale", "analytics"),
+)
+def agg_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group discrete quantiles (lower convention: the value
+    at 1-based rank floor((n-1)·q)+1) WITHOUT sorting any group — the
+    'exact median of 100 TB' selection algorithm:
+
+    pass 1: bucket every value by a fixed quantization (floor(v·8) —
+      value-monotonic, so bucket order IS value order and equal values
+      can never straddle a boundary), roll up per-(group, bucket)
+      counts, and cumulative-sum them over the SMALL histogram table
+      (O(groups·buckets) rows) to locate, per quantile, the one bucket
+      holding the target rank and the residual offset k inside it;
+    pass 2: re-scan with the tiny (group, bucket, q, k) spec broadcast
+      — only rows of target buckets survive the join — and pick the
+      k-th smallest value inside each via row_number.
+
+    The full sort the oracle runs is O(n log n) shuffle-heavy per
+    group; this plan's big-data work is two scans + one histogram
+    rollup, and the only row-level ordering happens inside ONE bucket
+    per (group, quantile) — n/buckets rows. At 100 TB with heavier
+    bucket skew, the same spec-join step recurses (re-bucket the one
+    target bucket by floor(v·8·B)) instead of widening the window;
+    one level suffices at every tested SF. Equal values within a
+    bucket make row_number ranks arbitrary among themselves, but the
+    VALUE at any rank is unique, so the answer is engine-stable with
+    no float rounding at all (the selected values are raw stored
+    doubles, never sums)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev = ev.withColumn("bucket", F.floor(F.col("value") * 8).cast("long"))
+    counts = ev.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # cum (ordered) and n (whole-partition) share one event_type
+    # exchange+sort of the SMALL histogram; both quantiles come out of
+    # the same pass via an explode, so the histogram subtree is built
+    # exactly once (a per-quantile union would rescan events per q).
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy("event_type")
+    hist = counts.withColumn("cum", F.sum("c").over(wb)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    spec = (
+        hist.select(
+            "event_type",
+            "bucket",
+            "c",
+            "cum",
+            "n",
+            F.explode(F.array(F.lit(50), F.lit(90))).alias("q"),
+        )
+        .withColumn("r", F.expr("(n - 1) * q div 100 + 1"))
+        .filter(
+            (F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("c") < F.col("r"))
+        )
+        .select(
+            "event_type",
+            "bucket",
+            "q",
+            (F.col("r") - (F.col("cum") - F.col("c"))).alias("k"),
+        )
+    )
+    hit = ev.join(F.broadcast(spec), ["event_type", "bucket"])
+    wq = Window.partitionBy("event_type", "q").orderBy("value")
+    sel = hit.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") == F.col("k")
+    )
+    return sel.groupBy("event_type").agg(
+        F.max(F.when(F.col("q") == 50, F.col("value"))).alias("p50_exact"),
+        F.max(F.when(F.col("q") == 90, F.col("value"))).alias("p90_exact"),
+    )

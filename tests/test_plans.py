@@ -370,3 +370,24 @@ def test_decontamination_broadcasts_eval_grams_no_text_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m
+
+
+def test_exact_quantile_single_histogram_and_broadcast_spec(spark, sf_dir):
+    """Two-pass exact quantile: ONE histogram subtree feeds both
+    quantiles (exactly two parquet scans of events total — per-q
+    branches would rescan), the (group,bucket,q,k) spec reaches the
+    second pass as a broadcast, and no Sort ever runs over the raw
+    events relation — the only row-level sorts are the small-histogram
+    window and the within-target-bucket window."""
+    import re
+
+    plan = _plan(spark, sf_dir, "agg_exact_quantile_twopass")
+    assert len(re.findall(r"Scan parquet", plan)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the within-bucket selection sorts on (event_type, q, value) —
+    # never a per-group sort of the full relation (no global Sort
+    # without the q column present)
+    sorts = re.findall(r"Sort \[([^\]]*)\]", plan)
+    assert sorts, plan
+    assert all(("q#" in s) or ("bucket#" in s) for s in sorts), sorts
