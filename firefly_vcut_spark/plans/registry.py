@@ -101,6 +101,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.rag_sql  # noqa: F401
     import firefly_vcut_spark.plans.search_sql  # noqa: F401
     import firefly_vcut_spark.plans.decon_sql  # noqa: F401
+    import firefly_vcut_spark.plans.kmeans_sql  # noqa: F401
 
 
 # Registry-order insurance (VERDICT r1 item 8): the driver records the
