@@ -151,7 +151,7 @@ _FRONT50 = [
     "text_quality_scores",
     "text_lang_id",
     "text_tfidf_topterms",
-    "mm_decode_features",
+    "ml_kmeans_full_lloyd",
     "w_tumbling_counts",
     "w_hypertable_rollup",
     "st_enrich_stream_static",
