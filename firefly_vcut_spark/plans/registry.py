@@ -102,6 +102,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.search_sql  # noqa: F401
     import firefly_vcut_spark.plans.decon_sql  # noqa: F401
     import firefly_vcut_spark.plans.kmeans_sql  # noqa: F401
+    import firefly_vcut_spark.plans.unigram_sql  # noqa: F401
 
 
 # Registry-order insurance (VERDICT r1 item 8): the driver records the
@@ -149,7 +150,7 @@ _FRONT50 = [
     "rag_context_assembly",
     "ann_ivf_kmeans_topk",
     "text_quality_scores",
-    "text_lang_id",
+    "text_unigram_encode_words",
     "text_tfidf_topterms",
     "ml_kmeans_full_lloyd",
     "w_tumbling_counts",

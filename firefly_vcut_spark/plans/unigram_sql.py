@@ -1,0 +1,221 @@
+"""Unigram-LM (SentencePiece-style) tokenizer as registry queries
+with full DuckDB oracles.
+
+The oracle replays BOTH stages closed-form:
+
+- the seed-vocabulary fit (all-substring weights, keep-all single
+  chars + integer-tie-stable top-K multis, micro-nat costs), and
+- the exact Viterbi decode, UNROLLED into one CTE per prefix length
+  (``d1..d{MAX_WORD_LEN}``, each MATERIALIZED): stage i joins the best
+  states at positions i-4..i-1 against the piece table on the literal
+  substring and keeps the (cost, n, seg)-min row per word — the same
+  per-position pruning the Spark HOF dp performs, so a single wrong
+  DP cell anywhere flips the hash. This is the BPE/k-means unrolled-
+  replay technique (`plans/bpe_sql.py`, `plans/kmeans_sql.py`) applied
+  to a dynamic program.
+
+Engine-parity notes: all weights/costs/sums are BIGINT (costs are
+``round(ln(total/weight)*1e6)`` micro-nats — the DSIR quantization);
+tie-breaks are (cost, n, seg) with seg built identically on both
+sides, and ``seg``-string comparison is prefix-monotonic for
+equal-coverage states (module docstring of ``operators/unigram.py``).
+
+Reference scope note: the reference (firefly-vcut) has no tokenizer;
+this is the training-data surface the brief adds (tokenizer family,
+alongside BPE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.operators.unigram import (
+    K_MULTI,
+    MAX_PIECE_LEN,
+    MAX_WORD_LEN,
+    encode_docs,
+    em_rescore,
+    fit_pieces,
+    piece_scores,
+    viterbi_words,
+)
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _pieces_cte(k: int = K_MULTI, maxp: int = MAX_PIECE_LEN) -> str:
+    """w0 -> spans -> sel -> pieces: the seed-vocabulary fit."""
+    return f"""w0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+        WHERE word != '' GROUP BY word
+    ),
+    spans AS MATERIALIZED (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS weight FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, length(word) - l + 2),
+                                         s -> substr(word, s, l))) AS piece
+            FROM w0, (SELECT unnest(range(1, {maxp + 1})) AS l) ll
+            WHERE length(word) >= l
+        ) GROUP BY piece
+    ),
+    sel AS MATERIALIZED (
+        SELECT piece, weight FROM spans WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, weight FROM (
+            SELECT piece, weight FROM spans WHERE length(piece) >= 2
+            ORDER BY weight DESC, piece ASC LIMIT {k}
+        )
+    ),
+    pieces AS MATERIALIZED (
+        SELECT piece, weight,
+               CAST(round(ln(CAST(tw AS DOUBLE) / weight) * 1000000)
+                    AS BIGINT) AS cost
+        FROM sel CROSS JOIN
+             (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM sel) tot
+    )"""
+
+
+def _viterbi_ctes(maxw: int = MAX_WORD_LEN, maxp: int = MAX_PIECE_LEN) -> str:
+    """d0..d{maxw} + enc: the unrolled exact-DP replay. d{i} holds the
+    single best (cost, n, seg) state covering each word's length-i
+    prefix; enc joins each word to the state at its full length."""
+    parts = [
+        "d0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost, "
+        "CAST(0 AS BIGINT) AS n, '' AS seg FROM w0)"
+    ]
+    for i in range(1, maxw + 1):
+        prevs = "\n            UNION ALL ".join(
+            f"SELECT word, cost, n, seg, CAST({j} AS BIGINT) AS pos FROM d{j}"
+            for j in range(max(0, i - maxp), i)
+        )
+        parts.append(
+            f"""c{i} AS (
+        SELECT d.word, d.cost + p.cost AS cost, d.n + 1 AS n,
+               CASE WHEN d.seg = '' THEN p.piece
+                    ELSE d.seg || ' ' || p.piece END AS seg
+        FROM ({prevs}) d
+        JOIN pieces p ON p.piece = substr(d.word, d.pos + 1, {i} - d.pos)
+        WHERE length(d.word) >= {i}
+    ),
+    d{i} AS MATERIALIZED (
+        SELECT word, cost, n, seg FROM (
+            SELECT *, row_number() OVER (PARTITION BY word
+                         ORDER BY cost, n, seg) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    final = "\n        UNION ALL ".join(
+        f"SELECT w.word, w.freq, d.cost, d.n, d.seg FROM w0 w "
+        f"JOIN d{i} d USING (word) WHERE length(w.word) = {i}"
+        for i in range(1, maxw + 1)
+    )
+    parts.append(f"enc AS MATERIALIZED (\n        {final}\n    )")
+    return ",\n    ".join(parts)
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from firefly_vcut_spark.operators.bpe import word_freq_table
+
+    return word_freq_table(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_unigram_piece_scores",
+    sql=f"""
+    WITH {_pieces_cte()}
+    SELECT piece, weight, cost AS cost_micro FROM pieces
+    """,
+    tags=("text", "extension", "tokenizer"),
+)
+def text_unigram_piece_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed unigram vocabulary (Kudo'18 §3.2): every single char plus
+    the top-64 multi-char substrings by integer (weight, piece) order,
+    scored in micro-nats. One substring explode off the vocab-bounded
+    word table — the corpus itself is touched only by the shared
+    (word, count) tokenization shuffle."""
+    return piece_scores(_words(spark, sf_dir))
+
+
+@query(
+    "text_unigram_encode_words",
+    sql=f"""
+    WITH {_pieces_cte()},
+    {_viterbi_ctes()}
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(cost AS BIGINT) AS cost_micro,
+           CAST(n AS BIGINT) AS n_pieces, seg
+    FROM enc
+    """,
+    tags=("text", "extension", "tokenizer", "iterative"),
+)
+def text_unigram_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Viterbi segmentation of every corpus word under the seed
+    model — the DP runs inside one JVM HOF expression with the piece
+    table as a literal map (zero shuffle, zero Python), and the oracle
+    re-derives every DP cell via the 12-stage unrolled CTE. The output
+    carries the argmin PATH (seg), not just its cost, so a tie-break
+    or transition bug anywhere in either engine flips the hash."""
+    w = _words(spark, sf_dir)
+    return viterbi_words(w, fit_pieces(w))
+
+
+@query(
+    "text_unigram_em_rescore",
+    sql=f"""
+    WITH {_pieces_cte()},
+    {_viterbi_ctes()},
+    used AS (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS used_weight
+        FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM enc)
+        GROUP BY piece
+    )
+    SELECT piece, used_weight,
+           CAST(round(ln(CAST(tw AS DOUBLE) / used_weight) * 1000000)
+                AS BIGINT) AS new_cost_micro
+    FROM used CROSS JOIN
+         (SELECT CAST(sum(used_weight) AS BIGINT) AS tw FROM used) tot
+    """,
+    tags=("text", "extension", "tokenizer", "iterative"),
+)
+def text_unigram_em_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-EM re-estimation round: piece usage under the Viterbi
+    decode (frequency-weighted), re-scored to fresh micro-nat costs;
+    never-used pieces drop out. Verifies the fit->decode->refit loop
+    end-to-end — the oracle replays the seed fit AND the full DP
+    before it can even count usages."""
+    w = _words(spark, sf_dir)
+    return em_rescore(viterbi_words(w, fit_pieces(w)))
+
+
+@query(
+    "text_unigram_encode_docs",
+    sql=f"""
+    WITH {_pieces_cte()},
+    {_viterbi_ctes()},
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.n) AS BIGINT) AS n_pieces,
+           CAST(sum(e.cost) AS BIGINT) AS cost_micro
+    FROM toks t JOIN enc e ON e.word = t.word
+    WHERE t.word != ''
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "extension", "tokenizer"),
+)
+def text_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level unigram encode: tokens join the BROADCAST
+    vocab-bounded word-encode projection, then ONE doc-keyed rollup —
+    document text never re-shuffles, mirroring text_bpe_encode_docs'
+    scale shape. Words beyond MAX_WORD_LEN fall out of the inner join
+    identically on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words(spark, sf_dir)
+    enc = viterbi_words(w, fit_pieces(w))
+    return encode_docs(d, enc)
