@@ -391,3 +391,27 @@ def test_exact_quantile_single_histogram_and_broadcast_spec(spark, sf_dir):
     sorts = re.findall(r"Sort \[([^\]]*)\]", plan)
     assert sorts, plan
     assert all(("q#" in s) or ("bucket#" in s) for s in sorts), sorts
+
+
+def test_unigram_encode_words_is_single_exchange_projection(spark, sf_dir):
+    """Unigram Viterbi decode: the whole DP must fold into a
+    projection over the word table — the only exchange is the shared
+    (word, count) tokenization; no join, no window, no Python in the
+    plan (the piece table rides as a literal map)."""
+    plan = _plan(spark, sf_dir, "text_unigram_encode_words")
+    assert plan.count("Exchange") == 1, plan
+    for marker in ("Join", "Window", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
+
+
+def test_unigram_encode_docs_broadcasts_word_encodes(spark, sf_dir):
+    """Doc-level unigram encode: the vocab-bounded word-encode
+    projection broadcasts; the corpus side aggregates on doc_id.
+    Document text never enters an exchange."""
+    import re
+
+    plan = _plan(spark, sf_dir, "text_unigram_encode_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m
