@@ -55,6 +55,16 @@ MAX_WORD_LEN = 12  # DP unroll depth of the SQL oracle; words longer
 #                    (a real tokenizer splits such words upstream)
 COST_SCALE = 1_000_000  # micro-nats
 
+# the span aggregate is read by three bounded consumers (singles
+# filter, top-K multis, total); cache it once per fit and retire the
+# previous corpus's cache — the DSIR/graph one-slot discipline
+_LIVE_SPAN_CACHES: list = []
+
+
+def _retire_span_cache() -> None:
+    while _LIVE_SPAN_CACHES:
+        _LIVE_SPAN_CACHES.pop().unpersist()
+
 
 def piece_scores(
     words: DataFrame,
@@ -88,27 +98,32 @@ def piece_scores(
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("weight"))
     )
-    # one pass over the (vocab-bounded) piece table: rank multis and
-    # total the survivors with windows instead of union/cross-join
-    # branches, which would re-derive the spans subtree 4x (4 corpus
-    # tokenization passes at scale). The single-partition windows run
-    # over the piece table only — bounded by Zipf, the same class as
-    # BPE's pair aggregate.
-    from pyspark.sql import Window
-
-    is_multi = F.length("piece") >= 2
-    ranked = spans.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.partitionBy(is_multi).orderBy(F.desc("weight"), F.asc("piece"))
-        ),
+    # cache the span aggregate ONCE: three consumers (singles filter,
+    # top-K multis, total) would otherwise each re-derive the corpus
+    # tokenize+explode subtree — 4 corpus passes at scale. Top-K goes
+    # through orderBy().limit() = TakeOrdered (distributed partial
+    # top-K), NOT a single-partition rank window: the span table is
+    # vocab-class for alphabetic text but can reach ~|corpus 4-grams|
+    # for large-alphabet (CJK) corpora, where one-partition ranking
+    # would be the bottleneck.
+    # retire BEFORE persisting: caching matches on the logical plan,
+    # so unpersisting the previous (identical-plan) fit afterwards
+    # would evict the fresh cache too
+    _retire_span_cache()
+    spans = spans.persist()
+    _LIVE_SPAN_CACHES.append(spans)
+    singles = spans.filter(F.length("piece") == 1)
+    multis = (
+        spans.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("weight"), F.asc("piece"))
+        .limit(k_multi)
     )
-    sel = ranked.filter(~is_multi | (F.col("rnk") <= k_multi))
-    tw = F.sum("weight").over(Window.partitionBy())
-    return sel.select(
+    sel = singles.unionByName(multis)
+    tot = sel.agg(F.sum("weight").cast("long").alias("tw"))
+    return sel.crossJoin(F.broadcast(tot)).select(
         "piece",
         "weight",
-        F.round(F.log(tw.cast("double") / F.col("weight")) * COST_SCALE)
+        F.round(F.log(F.col("tw").cast("double") / F.col("weight")) * COST_SCALE)
         .cast("long")
         .alias("cost_micro"),
     )

@@ -43,7 +43,22 @@ def lint_plan(df: DataFrame, max_exchanges: int = 6) -> list[str]:
     for marker, code, msg in _CHECKS:
         if marker in plan:
             findings.append(f"{code}: {msg}")
-    n_ex = plan.count("Exchange")
+    # count DISTINCT exchange nodes: the plan string reprints a cached
+    # (InMemoryRelation) subtree under every reference, so the same
+    # physical exchange — one [plan_id=N] — can appear many times while
+    # executing once. ReusedExchange nodes are pointers, not exchanges.
+    import re
+
+    ex_nodes = set()
+    for ln in plan.splitlines():
+        if "ReusedExchange" in ln:
+            continue
+        m = re.search(r"\b(?:Broadcast)?Exchange ", ln)
+        if m:
+            # slice from the node name: the tree-drawing prefix differs
+            # per reference depth while [plan_id=N] identifies the node
+            ex_nodes.add(ln[m.start() :])
+    n_ex = len(ex_nodes)
     if n_ex > max_exchanges:
         findings.append(
             f"exchange-count: {n_ex} exchanges (> {max_exchanges}) — look for "
