@@ -137,6 +137,16 @@ def fit_pieces(words: DataFrame, k_multi: int = K_MULTI) -> list[tuple[str, int]
     return sorted((r["piece"], int(r["cost_micro"])) for r in rows)
 
 
+def fit_em_pieces(words: DataFrame, k_multi: int = K_MULTI) -> list[tuple[str, int]]:
+    """One hard-EM round of the trainer, collected as the round-2
+    model: seed fit -> Viterbi decode -> usage re-score. Bounded model
+    state (a subset of the seed vocabulary with fresh costs); every
+    word remains segmentable because its round-1 pieces all survive."""
+    enc = viterbi_words(words, fit_pieces(words, k_multi=k_multi))
+    rows = em_rescore(enc).collect()
+    return sorted((r["piece"], int(r["new_cost_micro"])) for r in rows)
+
+
 def _viterbi_state(word: Column, pieces: list[tuple[str, int]]) -> Column:
     """struct(cost, n, seg) of the min-cost segmentation of ``word``
     under the literal piece table — one HOF expression, zero shuffle.

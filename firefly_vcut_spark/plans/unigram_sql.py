@@ -36,6 +36,7 @@ from firefly_vcut_spark.operators.unigram import (
     MAX_WORD_LEN,
     encode_docs,
     em_rescore,
+    fit_em_pieces,
     fit_pieces,
     piece_scores,
     viterbi_words,
@@ -80,43 +81,72 @@ def _pieces_cte(k: int = K_MULTI, maxp: int = MAX_PIECE_LEN) -> str:
     )"""
 
 
-def _viterbi_ctes(maxw: int = MAX_WORD_LEN, maxp: int = MAX_PIECE_LEN) -> str:
-    """d0..d{maxw} + enc: the unrolled exact-DP replay. d{i} holds the
-    single best (cost, n, seg) state covering each word's length-i
-    prefix; enc joins each word to the state at its full length."""
+def _viterbi_ctes(
+    maxw: int = MAX_WORD_LEN,
+    maxp: int = MAX_PIECE_LEN,
+    prefix: str = "d",
+    pieces: str = "pieces",
+    enc: str = "enc",
+) -> str:
+    """{prefix}0..{prefix}{maxw} + {enc}: the unrolled exact-DP replay
+    against the ``pieces`` vocabulary CTE. {prefix}{i} holds the single
+    best (cost, n, seg) state covering each word's length-i prefix;
+    {enc} joins each word to the state at its full length. The prefix
+    parameter lets one query chain TWO decodes (seed model, then the
+    hard-EM re-estimated model) without CTE-name collisions."""
+    d = prefix
     parts = [
-        "d0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost, "
+        f"{d}0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost, "
         "CAST(0 AS BIGINT) AS n, '' AS seg FROM w0)"
     ]
     for i in range(1, maxw + 1):
         prevs = "\n            UNION ALL ".join(
-            f"SELECT word, cost, n, seg, CAST({j} AS BIGINT) AS pos FROM d{j}"
+            f"SELECT word, cost, n, seg, CAST({j} AS BIGINT) AS pos FROM {d}{j}"
             for j in range(max(0, i - maxp), i)
         )
         parts.append(
-            f"""c{i} AS (
+            f"""{d}c{i} AS (
         SELECT d.word, d.cost + p.cost AS cost, d.n + 1 AS n,
                CASE WHEN d.seg = '' THEN p.piece
                     ELSE d.seg || ' ' || p.piece END AS seg
         FROM ({prevs}) d
-        JOIN pieces p ON p.piece = substr(d.word, d.pos + 1, {i} - d.pos)
+        JOIN {pieces} p ON p.piece = substr(d.word, d.pos + 1, {i} - d.pos)
         WHERE length(d.word) >= {i}
     ),
-    d{i} AS MATERIALIZED (
+    {d}{i} AS MATERIALIZED (
         SELECT word, cost, n, seg FROM (
             SELECT *, row_number() OVER (PARTITION BY word
                          ORDER BY cost, n, seg) AS rn
-            FROM c{i}
+            FROM {d}c{i}
         ) WHERE rn = 1
     )"""
         )
     final = "\n        UNION ALL ".join(
         f"SELECT w.word, w.freq, d.cost, d.n, d.seg FROM w0 w "
-        f"JOIN d{i} d USING (word) WHERE length(w.word) = {i}"
+        f"JOIN {d}{i} d USING (word) WHERE length(w.word) = {i}"
         for i in range(1, maxw + 1)
     )
-    parts.append(f"enc AS MATERIALIZED (\n        {final}\n    )")
+    parts.append(f"{enc} AS MATERIALIZED (\n        {final}\n    )")
     return ",\n    ".join(parts)
+
+
+def _rescore_ctes(pieces2: str = "pieces2", enc: str = "enc") -> str:
+    """used + {pieces2}: the hard-EM re-estimation off a decode CTE —
+    piece usage weighted by word frequency, re-scored to micro-nats.
+    Totality of a second decode holds by construction: every word's
+    round-1 pieces are all in {pieces2}."""
+    return f"""used AS (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS used_weight
+        FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM {enc})
+        GROUP BY piece
+    ),
+    {pieces2} AS MATERIALIZED (
+        SELECT piece, used_weight,
+               CAST(round(ln(CAST(tw AS DOUBLE) / used_weight) * 1000000)
+                    AS BIGINT) AS cost
+        FROM used CROSS JOIN
+             (SELECT CAST(sum(used_weight) AS BIGINT) AS tw FROM used) tot
+    )"""
 
 
 def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,16 +200,8 @@ def text_unigram_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH {_pieces_cte()},
     {_viterbi_ctes()},
-    used AS (
-        SELECT piece, CAST(sum(freq) AS BIGINT) AS used_weight
-        FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM enc)
-        GROUP BY piece
-    )
-    SELECT piece, used_weight,
-           CAST(round(ln(CAST(tw AS DOUBLE) / used_weight) * 1000000)
-                AS BIGINT) AS new_cost_micro
-    FROM used CROSS JOIN
-         (SELECT CAST(sum(used_weight) AS BIGINT) AS tw FROM used) tot
+    {_rescore_ctes()}
+    SELECT piece, used_weight, cost AS new_cost_micro FROM pieces2
     """,
     tags=("text", "extension", "tokenizer", "iterative"),
 )
@@ -191,6 +213,35 @@ def text_unigram_em_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     before it can even count usages."""
     w = _words(spark, sf_dir)
     return em_rescore(viterbi_words(w, fit_pieces(w)))
+
+
+@query(
+    "text_unigram_em_reencode",
+    sql=f"""
+    WITH {_pieces_cte()},
+    {_viterbi_ctes()},
+    {_rescore_ctes()},
+    {_viterbi_ctes(prefix="e", pieces="pieces2", enc="enc2")}
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(cost AS BIGINT) AS cost_micro,
+           CAST(n AS BIGINT) AS n_pieces, seg
+    FROM enc2
+    """,
+    tags=("text", "extension", "tokenizer", "iterative"),
+)
+def text_unigram_em_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 decode: every corpus word re-segmented under the
+    hard-EM re-estimated model (fit -> decode -> refit -> decode, the
+    full unigram-LM training loop once around). The oracle replays the
+    seed fit, the 12-stage DP, the usage re-score, AND a second
+    12-stage DP over the shrunken vocabulary — 24 unrolled DP stages
+    end-to-end. Totality of the second decode holds by construction
+    (every word's round-1 pieces survive into pieces2). Spark side:
+    the round-1 decode collapses into the bounded-model fit (two
+    vocab-table jobs); the round-2 decode is the same zero-shuffle
+    literal-map projection as round 1."""
+    w = _words(spark, sf_dir)
+    return viterbi_words(w, fit_em_pieces(w))
 
 
 @query(

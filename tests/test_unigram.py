@@ -113,3 +113,39 @@ def test_em_rescore_drops_unused_pieces(spark):
     rows = em_rescore(enc).collect()
     assert [(r["piece"], r["used_weight"]) for r in rows] == [("ab", 7)]
     assert rows[0]["new_cost_micro"] == 0  # ln(7/7) = 0
+
+
+def test_em_reencode_stays_within_surviving_vocab(spark):
+    # round-2 decode must (a) still concatenate back to each word and
+    # (b) use only pieces that survived the hard-EM rescore (= pieces
+    # the round-1 decode used)
+    from firefly_vcut_spark.operators.unigram import fit_em_pieces
+
+    w = _words(spark, [("spark", 3), ("shuffle", 2), ("scan", 5), ("sparks", 1)])
+    p2 = fit_em_pieces(w)
+    survivors = {p for p, _ in p2}
+    enc2 = viterbi_words(w, p2).collect()
+    assert len(enc2) == 4
+    for r in enc2:
+        assert r["seg"].replace(" ", "") == r["word"]
+        assert set(r["seg"].split(" ")) <= survivors
+
+
+def test_em_round_can_change_the_segmentation(spark):
+    # seed weights make 'ab' and single chars comparably cheap, but the
+    # round-1 decode concentrates usage so the rescored model re-prices
+    # pieces; verify the loop is live (costs change), and decode-2 is
+    # optimal under the NEW model per brute force
+    from firefly_vcut_spark.operators.unigram import fit_em_pieces
+
+    w = _words(spark, [("abab", 5), ("ab", 3), ("ba", 2)])
+    p1 = dict(fit_pieces(w))
+    p2 = dict(fit_em_pieces(w))
+    assert set(p2) <= set(p1)
+    assert any(p2[p] != p1[p] for p in p2)  # re-estimation moved costs
+    out = {
+        r["word"]: (r["cost_micro"], r["n_pieces"], r["seg"])
+        for r in viterbi_words(w, sorted(p2.items())).collect()
+    }
+    for word in ("abab", "ab", "ba"):
+        assert out[word] == _brute_force(word, p2), word
