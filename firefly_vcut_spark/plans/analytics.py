@@ -1032,3 +1032,50 @@ def agg_exact_quantile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("q") == 50, F.col("value"))).alias("p50_exact"),
         F.max(F.when(F.col("q") == 90, F.col("value"))).alias("p90_exact"),
     )
+
+
+@query(
+    "agg_k_anonymity_audit",
+    sql="""
+    WITH qi AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c.c_custkey
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    grp AS (
+        SELECT nation, segment, bal_band, CAST(count(*) AS BIGINT) AS n
+        FROM qi GROUP BY nation, segment, bal_band
+    )
+    SELECT nation, segment, bal_band, n
+    FROM grp WHERE n < 5
+    """,
+    tags=("agg", "privacy", "analytics", "extension"),
+)
+def agg_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney'02) over the customer table — the
+    re-identification scan a training-data pipeline runs before
+    releasing tabular records: group by the quasi-identifier tuple
+    (nation, market segment, account-balance band) and surface every
+    group smaller than k=5, whose members a linker could single out.
+
+    Scale shape: the band is a fixed-width bucket (floor(bal/1000) —
+    a pure projection, identical IEEE arithmetic in both engines),
+    NOT an ntile, so there is no global ordering; the audit is one
+    QI-keyed aggregate with the nation dim broadcast. Companion to
+    corpus_pii_redaction (plans/pipeline_ops.py) on the privacy axis;
+    the reference has no privacy surface (training-data extension)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    qi = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    return (
+        qi.groupBy("nation", "segment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") < 5)
+    )
