@@ -149,3 +149,17 @@ def test_em_round_can_change_the_segmentation(spark):
     }
     for word in ("abab", "ab", "ba"):
         assert out[word] == _brute_force(word, p2), word
+
+
+def test_viterbi_is_character_based_not_byte_based(spark):
+    # multi-byte UTF-8: substr/length are CHARACTER semantics in both
+    # engines; a byte-based regression would slice through codepoints
+    pieces = [("α", 7), ("β", 7), ("γ", 7), ("αβ", 5), ("βγ", 4)]
+    out = {
+        r["word"]: (r["cost_micro"], r["n_pieces"], r["seg"])
+        for r in viterbi_words(
+            _words(spark, [("αβγ", 1), ("γβα", 1)]), pieces
+        ).collect()
+    }
+    assert out["αβγ"] == (11, 2, "α βγ")  # α+βγ (11) beats αβ+γ (12)
+    assert out["γβα"] == (21, 3, "γ β α")  # only singles cover it
