@@ -105,6 +105,7 @@ _LINT_ALLOW: dict[str, set[str]] = {
     "fjson_props_extract": {"unpushed-filter"},  # expr-filter: get_json_object derivation
     "ml_kmeans_full_lloyd": {"unpushed-filter"},  # expr-filter: isnotnull on the expression-derived cell join key (argmin over embedding) — not a scan predicate
     "q8_market_share": {"exchange-count"},  # multi-stage: 6-table star + year rollup
+    "search_bm25_mrr": {"exchange-count"},  # multi-stage by design: same tf/dl/df rollup chain as search_bm25_topk plus the per-query (qid) exchange shared by score aggregate and rank window
     "search_bm25_topk": {"exchange-count"},  # multi-stage by design: tf/dl/df rollups off one cached aggregate + doc-keyed score join + per-term rank window; dl is O(docs) so it must stay a keyed join (not broadcast) at scale
     "text_nb_langid_confusion": {"exchange-count"},  # multi-stage: train/apply/confusion passes
     "win_rolling_active_users": {"unpushed-filter"},  # expr-filter: date_trunc(ts) join key
