@@ -270,3 +270,78 @@ def text_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _words(spark, sf_dir)
     enc = viterbi_words(w, fit_pieces(w))
     return encode_docs(d, enc)
+
+
+def _fertility_sql() -> str:
+    """Both trainers re-derived, side by side: the BPE branch nests
+    the 12-round unrolled merge replay (plans/bpe_sql.py), the unigram
+    branch nests the seed fit + 12-stage DP — each as a derived table
+    with its own WITH scope, so the shared CTE names (w0 ...) never
+    collide. Fertility compares on the SAME word set (length <=
+    MAX_WORD_LEN, the unigram decode bound)."""
+    from firefly_vcut_spark.plans.bpe_sql import _V, _rounds_cte
+
+    bpe = f"""WITH {_rounds_cte(_V)}
+        SELECT word, freq,
+               CAST(len(string_split(trim(rep), '  ')) AS BIGINT) AS n
+        FROM r{_V} WHERE length(word) <= {MAX_WORD_LEN}"""
+    uni = f"""WITH {_pieces_cte()},
+        {_viterbi_ctes()}
+        SELECT word, freq, n FROM enc"""
+    branch = """
+        SELECT '{name}' AS tokenizer,
+               CAST(sum(freq) AS BIGINT) AS n_words,
+               CAST(sum(freq * n) AS BIGINT) AS total_pieces,
+               round(CAST(sum(freq * n) AS DOUBLE) / sum(freq), 6)
+                   AS pieces_per_word
+        FROM ({sql})"""
+    return (
+        branch.format(name="bpe", sql=bpe)
+        + "\n    UNION ALL\n"
+        + branch.format(name="unigram", sql=uni)
+    )
+
+
+@query(
+    "text_tokenizer_fertility_compare",
+    sql=_fertility_sql(),
+    tags=("text", "extension", "tokenizer", "eval", "iterative"),
+)
+def text_tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-family capstone eval: corpus fertility (frequency-
+    weighted pieces per word) of the 12-merge BPE tokenizer vs the
+    seed-fit unigram-LM tokenizer, on the identical word set — the
+    number a pipeline compares before picking its tokenizer (lower
+    fertility = shorter sequences = cheaper training). The oracle
+    re-derives BOTH trainers from scratch: all 12 BPE merge argmaxes
+    AND the unigram fit + full Viterbi DP, then both rollups — a
+    regression in either trainer anywhere flips the hash.
+
+    Scale: both branches share the one corpus tokenization shuffle
+    shape (vocab-bounded word tables); the comparison itself is two
+    2-column rollups and a 2-row union."""
+    from firefly_vcut_spark.operators.bpe import rep_table, train_bpe, word_freq_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = word_freq_table(docs)
+    merges = train_bpe(words, 12)
+    reps = rep_table(words, [(m["a"], m["b"]) for m in merges]).filter(
+        F.length("word") <= MAX_WORD_LEN
+    )
+    bpe = reps.select(
+        "freq", F.size(F.split(F.trim("rep"), "  ")).cast("long").alias("n")
+    )
+    uni = viterbi_words(words, fit_pieces(words)).select(
+        "freq", F.col("n_pieces").alias("n")
+    )
+
+    def rollup(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n")).cast("long").alias("total_pieces"),
+            F.round(
+                F.sum(F.col("freq") * F.col("n")).cast("double") / F.sum("freq"), 6
+            ).alias("pieces_per_word"),
+        ).select(F.lit(name).alias("tokenizer"), "n_words", "total_pieces", "pieces_per_word")
+
+    return rollup(bpe, "bpe").unionByName(rollup(uni, "unigram"))
