@@ -163,3 +163,18 @@ def test_viterbi_is_character_based_not_byte_based(spark):
     }
     assert out["αβγ"] == (11, 2, "α βγ")  # α+βγ (11) beats αβ+γ (12)
     assert out["γβα"] == (21, 3, "γ β α")  # only singles cover it
+
+
+def test_max_word_len_boundary_inclusive(spark):
+    # a word of EXACTLY MAX_WORD_LEN chars must encode; one char longer
+    # must be absent — mirroring the oracle, whose unrolled DP chain
+    # tops out at stage MAX_WORD_LEN
+    from firefly_vcut_spark.operators.unigram import MAX_WORD_LEN
+
+    at = "a" * MAX_WORD_LEN
+    over = "a" * (MAX_WORD_LEN + 1)
+    out = viterbi_words(
+        _words(spark, [(at, 1), (over, 1)]), [("a", 2), ("aa", 3)]
+    ).collect()
+    assert [r["word"] for r in out] == [at]
+    assert out[0]["seg"].replace(" ", "") == at
