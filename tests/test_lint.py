@@ -135,3 +135,22 @@ def test_registry_wide_lint_sweep(spark, sf_dir):
             stale[name] = gone
     assert not unexpected, f"lint findings outside allowlist: {unexpected}"
     assert not stale, f"stale allowlist entries (remove them): {stale}"
+
+
+def test_exchange_count_dedups_cached_subtrees(spark):
+    """A cached subtree is reprinted under every InMemoryRelation
+    reference, but its exchange executes once — the linter must count
+    it once (same plan_id), not per reference."""
+    df = (
+        spark.range(100000)
+        .withColumn("k", F.col("id") % 7)
+        .groupBy("k")
+        .count()
+        .persist()
+    )
+    try:
+        tripled = df.union(df).union(df)
+        findings = lint_plan(tripled, max_exchanges=1)
+        assert not any(f.startswith("exchange-count") for f in findings), findings
+    finally:
+        df.unpersist()
