@@ -193,7 +193,8 @@ def _kmeans_sql(k: int = K_CELLS, rounds: int = ROUNDS) -> str:
     WITH {joined}
     SELECT CAST(a.cell AS BIGINT) AS cell,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(a.dist) AS BIGINT) AS inertia,
+           CAST(CAST(sum(CAST(a.dist AS HUGEINT)) AS HUGEINT) AS VARCHAR)
+               AS inertia,
            CAST(any_value(t.top_label) AS BIGINT) AS top_label,
            CAST(any_value(t.top_label_n) AS BIGINT) AS top_label_n
     FROM asgF a JOIN top t ON t.cell = a.cell
@@ -211,9 +212,12 @@ def ml_kmeans_full_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, then a final assignment audit: per cell — member count,
     exact integer inertia, and the majority label (ties to the lowest
     label). Magnitudes: |tick| ≤ 1.006e8, per-dim squared diff ≤
-    1.2e12, 64-dim distance ≤ 7.7e13, so inertia stays in BIGINT up to
-    ~1e5-member cells; beyond that report inertia in COORD_SCALE²
-    units (divide inside the sum) — noted, not needed at tested SFs."""
+    1.2e12, 64-dim distance ≤ 7.7e13 — so a cell's inertia SUM cracks
+    int64 at ~1e5 members, the r5 OLS overflow class. It therefore
+    accumulates in DECIMAL(38,0) (Spark decimal128 ≡ DuckDB's HUGEINT
+    sum promotion, exact to ~1e24 members) and leaves the query as a
+    VARCHAR so the full precision survives the {BIGINT,DOUBLE,VARCHAR}
+    output discipline."""
     q = _quantized(load_table(spark, sf_dir, "embeddings"))
     # persist: 3 update rounds + the final audit all rescan this
     q = q.persist()
@@ -233,7 +237,12 @@ def ml_kmeans_full_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = asg.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dist").cast("long").alias("inertia"),
+        # decimal128 accumulation (the r5 OLS overflow fix): a cell's
+        # BIGINT inertia sum cracks int64 at ~1e5 members
+        F.sum(F.col("dist").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("inertia"),
     )
     lab = asg.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("label_n"))
     w = Window.partitionBy("cell").orderBy(F.desc("label_n"), F.asc("label"))
