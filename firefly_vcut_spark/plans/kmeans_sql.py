@@ -92,17 +92,24 @@ def _best_cell(cents: list[list[int]]) -> Column:
 def _update(q: DataFrame, cents: list[list[int]]) -> list[list[int]]:
     """One Lloyd update: assign map-side, then the partial-agg M-step.
     Empty cells keep their previous centroid (mirrored by the oracle's
-    COALESCE over a left join)."""
+    COALESCE over a left join). The per-(cell, dim) coordinate sum
+    accumulates in DECIMAL(38,0) — a hot cell's BIGINT sum of ~2e8
+    ticks cracks int64 around 5e10 members, the r5 OLS overflow class
+    — and the floor division happens in Python big-int on the driver
+    (sums are positive, so // == floor == DuckDB's HUGEINT //)."""
     asg = q.select(_best_cell(cents)["cell"].alias("cell"), "qv")
     upd = (
         asg.select("cell", F.posexplode("qv").alias("d", "x"))
         .groupBy("cell", "d")
-        .agg(F.expr("sum(x) div count(*)").alias("x"))
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("m"),
+        )
         .collect()
     )
     nxt = [list(c) for c in cents]
     for r in upd:
-        nxt[r.cell][r.d] = r.x
+        nxt[r.cell][r.d] = int(r.s) // int(r.m)
     return nxt
 
 
