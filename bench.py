@@ -170,6 +170,18 @@ def main() -> None:
     if oracle_timings:
         out["duckdb_oracle_queries"] = oracle_timings
         out["duckdb_oracle_total"] = round(sum(oracle_timings.values()), 3)
+        # Spark/DuckDB wall ratio per query, measured same-session on
+        # identical hardware/data — the noise-robust metric (absolute
+        # walls drift ±20-30% across sessions on this shared host; the
+        # paired ratio does not).
+        out["ratio_vs_oracle"] = {
+            n: round(timings[n] / oracle_timings[n], 3)
+            for n in oracle_timings
+            if n in timings and oracle_timings[n] > 0
+        }
+        spark_on_oracle = sum(timings[n] for n in oracle_timings if n in timings)
+        if out["duckdb_oracle_total"] > 0:
+            out["ratio_total"] = round(spark_on_oracle / out["duckdb_oracle_total"], 3)
     print(json.dumps(out))
 
 

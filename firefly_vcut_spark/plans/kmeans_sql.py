@@ -72,21 +72,30 @@ def _seed_centroids(q: DataFrame, k: int) -> list[list[int]]:
 
 
 def _best_cell(cents: list[list[int]]) -> Column:
-    """struct(dist, cell) of the nearest centroid — all-literal,
-    all-JVM, zero-shuffle: K exact integer squared distances via
-    zip_with/aggregate, argmin with ties to the lowest cell via
-    array_min's lexicographic struct order."""
-    candidates = []
-    for j, c in enumerate(cents):
-        d2 = F.aggregate(
-            F.zip_with(F.col("qv"), F.lit(c), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    """struct(dist, cell) of the nearest centroid — all-JVM,
+    zero-shuffle, and O(1) expression size in K (r7 verdict item 4):
+    the whole centroid table rides in as ONE array<array<bigint>>
+    Literal (a single Catalyst node carrying K·dim longs of data, not
+    K·dim expression nodes), the per-centroid exact integer squared
+    distance is a transform/zip_with/aggregate HOF chain, and argmin
+    (ties to the lowest cell) is array_min's lexicographic struct
+    order. The r7 shape unrolled K separate zip_with expressions —
+    fine at K=8, but expression-tree size grew linearly with K, the
+    same class as unbounded BPE depth (operators/bpe.py:83). A
+    broadcast-join alternative would shuffle O(rows) per round;
+    keeping assignment map-side is the 100 TB invariant, so the model
+    state stays in the plan — now as data, not as code."""
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.array_min(
+        F.transform(
+            F.lit(cents),
+            lambda c, j: F.struct(d2(c).alias("dist"), j.cast("long").alias("cell")),
         )
-        candidates.append(
-            F.struct(d2.alias("dist"), F.lit(j).cast("long").alias("cell"))
-        )
-    return F.array_min(F.array(*candidates))
+    )
 
 
 def _update(q: DataFrame, cents: list[list[int]]) -> list[list[int]]:
