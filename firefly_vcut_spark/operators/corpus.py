@@ -113,6 +113,40 @@ def decontaminate(
     )
 
 
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag-only variant of :func:`decontaminate`: the distinct ids of
+    corpus docs sharing ANY word n-gram with the benchmark set, without
+    the per-doc shared-gram counts. Two exchanges cheaper: the corpus
+    gram stream LEFT-SEMI joins the broadcast benchmark grams raw (a
+    semi probe only tests key existence, so the bench side needs no
+    distinct-gram shuffle), and the only shuffle is the final id
+    dedup. Use when a pipeline needs the drop set, not the audit
+    counts."""
+    from firefly_vcut_spark.operators.dedup import normalized_text
+    from firefly_vcut_spark.operators.text import word_ngrams
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(normalized_text(F.col(text_col)), " ")
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_ngrams(toks, n))).alias("gram"),
+        )
+
+    bench_grams = grams(benchmark).select("gram")
+    return (
+        grams(docs)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("id")
+        .distinct()
+    )
+
+
 def mixture_hash(key: Column) -> Column:
     """Uniform [0, 2^32) mix of an integer key (Knuth multiplicative
     with a multiplier distinct from split_bucket's, so mixture keeps

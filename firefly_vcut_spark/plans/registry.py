@@ -103,6 +103,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.decon_sql  # noqa: F401
     import firefly_vcut_spark.plans.kmeans_sql  # noqa: F401
     import firefly_vcut_spark.plans.unigram_sql  # noqa: F401
+    import firefly_vcut_spark.plans.audit_sql  # noqa: F401
 
 
 # Registry-order insurance (VERDICT r1 item 8): the driver records the
@@ -168,7 +169,7 @@ _FRONT50 = [
     "win_scd2_history",
     "agg_exact_quantile_twopass",
     "agg_k_anonymity_audit",
-    "agg_skew_audit",
+    "corpus_pipeline_audit_card",
     "agg_retention_cohorts",
     "agg_graph_triangles",
     "q2_min_acctbal_supplier",

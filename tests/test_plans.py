@@ -415,3 +415,25 @@ def test_unigram_encode_docs_broadcasts_word_encodes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m
+
+
+def test_audit_card_single_ledger_pass_no_stage_recompute(spark, sf_dir):
+    """Pipeline audit card: the six ledger rows must inline() out of
+    ONE aggregation chain over one flags subtree — exactly three
+    parquet scans of documents total (featurization, corpus grams,
+    eval grams); a per-stage materialization would rescan per stage.
+    The contamination flag set and the eval gram set broadcast; no
+    exchange carries document text; lint-clean (<= 6 exchanges)."""
+    import re
+
+    from firefly_vcut_spark.plans.lint import lint_plan
+
+    df = QS["corpus_pipeline_audit_card"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 3, plan
+    assert plan.count("Generate inline") == 1
+    assert plan.count("BroadcastExchange") == 2
+    assert "CartesianProduct" not in plan
+    for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m
+    assert lint_plan(df) == []

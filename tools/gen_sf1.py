@@ -40,9 +40,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata", "sf1")
 
 N_COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+# optional 2nd arg: output dir name under .localdata (default sf1) —
+# e.g. `python tools/gen_sf1.py 3 sf0.3` builds the intermediate SF
+# where quadratic oracle replays (9x sf0.1) still fit a ~30 min budget
+_DST_NAME = sys.argv[2] if len(sys.argv) > 2 else "sf1"
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".localdata", _DST_NAME
+)
 
 # sf0.1 key cardinalities (verified against the parquet footers) —
 # the per-copy offsets that keep every FK aligned with its dimension
