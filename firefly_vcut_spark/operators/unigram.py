@@ -253,3 +253,34 @@ def encode_docs(docs: DataFrame, enc_words: DataFrame) -> DataFrame:
             F.sum("cost_micro").cast("long").alias("cost_micro"),
         )
     )
+
+
+def piece_usage_delta(
+    docs: DataFrame,
+    pieces: list[tuple[str, int]],
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """(piece, n_uses): freq-weighted piece-usage counts of the exact
+    Viterbi decode of every word in ``docs`` under a FROZEN piece
+    table — the mergeable-by-SUM unit a streaming encode sink appends
+    per micro-batch. Only summable fields ride in the delta: a
+    distinct-words or distinct-docs count would double-count across
+    batches, the same merge constraint as ``text.postings_delta``'s
+    cf. Decode is deterministic under a fixed model, so per-batch
+    deltas summed equal the whole-corpus delta no matter how the
+    corpus was micro-batched (the stream==batch property the sink
+    tests pin)."""
+    from firefly_vcut_spark.operators.text import tokens
+
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    enc = viterbi_words(words, pieces, max_word_len)
+    return (
+        enc.select("freq", F.explode(F.split("seg", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("n_uses"))
+    )

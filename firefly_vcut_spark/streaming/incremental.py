@@ -880,3 +880,64 @@ def read_heavy_hitters(
             F.col("cms_estimate").cast("long"),
         )
     )
+
+
+def write_token_usage_sink(
+    stream_docs: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    pieces: list[tuple[str, int]],
+) -> str:
+    """Streaming tokenizer-encode accounting (the batch-incremental
+    twin of the unigram encode path): each micro-batch of documents is
+    exactly Viterbi-decoded under a FROZEN unigram piece table — the
+    model a production encode fleet serves while training of the next
+    model happens offline — and folds to its per-piece usage delta
+    (``operators/unigram.piece_usage_delta``), APPENDED as a tagged
+    O(batch) segment. The accumulated usage table is never read or
+    rewritten in the ingest path; the running totals (piece-frequency
+    drift, fertility monitoring) are merge-on-read via
+    ``read_token_usage``.
+
+    Exactly-once: the same all-tagged discipline as
+    ``write_inverted_index_sink`` — n_uses is SUMMED at read, so an
+    untagged first-batch write redelivered after a crash would
+    double-count; every batch goes down the tagged append path over a
+    one-time empty schema-bearing base."""
+    from firefly_vcut_spark.operators.unigram import piece_usage_delta
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    spark = stream_docs.sparkSession
+    store = SnapshotStore(spark, store_root)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = piece_usage_delta(batch_df, pieces)
+        if not store.exists("piece_usage"):
+            store.write("piece_usage", delta.limit(0))
+        store.append_segment(
+            "piece_usage", delta, tag=_sink_tag(checkpoint_dir, batch_id)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store_root
+
+
+def read_token_usage(spark: SparkSession, store_root: str) -> DataFrame:
+    """Merge-on-read view of streamed piece-usage deltas: (piece,
+    n_uses) consolidated by SUM — segment deltas are disjoint-by-batch
+    partial sums of a deterministic decode, so addition is the exact
+    merge."""
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    return (
+        SnapshotStore(spark, store_root)
+        .read("piece_usage")
+        .groupBy("piece")
+        .agg(F.sum("n_uses").cast("long").alias("n_uses"))
+    )

@@ -1,0 +1,136 @@
+"""Streaming tokenizer-encode sink: piece-usage totals merged from
+segment-appended per-batch deltas equal the batch encode no matter how
+the corpus was micro-batched; ingest writes O(batch) bytes per batch;
+crash re-delivery is idempotent (r7 verdict item 6 — the tokenizer
+surface's dual-mode story)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from firefly_vcut_spark.operators.unigram import fit_pieces, piece_usage_delta
+from firefly_vcut_spark.sources.catalog import load_table
+from firefly_vcut_spark.streaming.incremental import (
+    read_token_usage,
+    write_token_usage_sink,
+)
+
+
+@pytest.fixture(scope="module")
+def pieces(spark, sf_dir):
+    """The frozen model a streaming encode fleet serves: fit offline
+    on the full corpus word table (same fit as text_unigram_* plans)."""
+    from pyspark.sql import functions as F
+
+    from firefly_vcut_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return fit_pieces(words)
+
+
+def _stream_docs(spark, sf_dir, tmp_path, n_files=4, name="doc_parts"):
+    src = str(tmp_path / name)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(n_files).write.parquet(src)
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+def _usage_map(df):
+    return {r["piece"]: r["n_uses"] for r in df.collect()}
+
+
+def test_streamed_usage_equals_batch_encode(spark, sf_dir, tmp_path, pieces):
+    stream = _stream_docs(spark, sf_dir, tmp_path)
+    root = write_token_usage_sink(
+        stream, str(tmp_path / "store"), str(tmp_path / "ck"), pieces
+    )
+    streamed = _usage_map(read_token_usage(spark, root))
+    batch = _usage_map(
+        piece_usage_delta(load_table(spark, sf_dir, "documents"), pieces)
+    )
+    assert streamed == batch and len(batch) > 0
+
+
+def test_usage_ingest_writes_o_batch_segments(spark, sf_dir, tmp_path, pieces):
+    """Every micro-batch lands as ONE tagged segment over a one-time
+    empty base — no batch's counts ever ride an untagged write."""
+    stream = _stream_docs(spark, sf_dir, tmp_path, n_files=4)
+    root = write_token_usage_sink(
+        stream, str(tmp_path / "store"), str(tmp_path / "ck"), pieces
+    )
+    tdir = os.path.join(root, "piece_usage")
+    bases = [n for n in os.listdir(tdir) if n.startswith("v")]
+    segs = [n for n in os.listdir(tdir) if n.startswith("s")]
+    assert bases == ["v1"]
+    assert len(segs) == 4
+
+
+def test_usage_crash_redelivery_is_idempotent(spark, sf_dir, tmp_path, pieces):
+    """Drop the checkpoint's last batch commit after a full drain and
+    restart: the batch re-delivers under its original id, the same-tag
+    append is skipped, and the summed usage table is unchanged."""
+    ck = str(tmp_path / "ck1")
+    stream = _stream_docs(spark, sf_dir, tmp_path)
+    root = str(tmp_path / "store")
+    write_token_usage_sink(stream, root, ck, pieces)
+    s1 = _usage_map(read_token_usage(spark, root))
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()
+    )
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    src = str(tmp_path / "doc_parts")
+    docs_schema = load_table(spark, sf_dir, "documents").schema
+    replay = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    write_token_usage_sink(replay, root, ck, pieces)
+    s2 = _usage_map(read_token_usage(spark, root))
+    assert s1 == s2
+
+
+def test_usage_batch_zero_redelivery_does_not_double_count(
+    spark, sf_dir, tmp_path, pieces
+):
+    """The first batch's store commit lands but the checkpoint commit
+    does not: batch 0 re-delivers on restart; with the all-tagged
+    discipline the re-append is a no-op and n_uses (SUMMED at merge)
+    stays exact."""
+    ck = str(tmp_path / "ck0")
+    src = str(tmp_path / "doc_parts0")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.coalesce(1).write.parquet(src)
+    root = str(tmp_path / "store0")
+
+    def one_batch_stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    write_token_usage_sink(one_batch_stream(), root, ck, pieces)
+    s1 = _usage_map(read_token_usage(spark, root))
+    os.remove(os.path.join(ck, "commits", "0"))
+    crc = os.path.join(ck, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    write_token_usage_sink(one_batch_stream(), root, ck, pieces)
+    s2 = _usage_map(read_token_usage(spark, root))
+    assert s1 == s2 and len(s1) > 0
