@@ -12,10 +12,12 @@ Decode paths:
   transparency composition), and baseline TIFF (II/MM, strips,
   gray/RGB/palette, LZW with early change + predictor 2, PackBits)
   — no external codec needed, pixels
-  actually recovered. The remaining codec-class boundary (WebP's VP8,
-  inter-coded video, arithmetic/hierarchical JPEG) raises
-  NotImplementedError behind the guard; swapping in PIL/ffmpeg
-  changes one function.
+  actually recovered. WebP-LOSSLESS (VP8L) also decodes natively
+  (operators/webp.py, r8: prefix codes, LZ77 + distance map, color
+  cache, meta-prefix, all four transforms). The remaining codec-class
+  boundary (WebP's lossy VP8, inter-coded video,
+  arithmetic/hierarchical JPEG) raises NotImplementedError behind the
+  guard; swapping in PIL/ffmpeg changes one function.
 - FAKE (``decode_image_fake``): deterministic byte-level stand-in used
   by the registry query over the synthetic text-blob corpus.
 
@@ -311,8 +313,8 @@ def _decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
 # ---------------------------------------------------------------------------
 # Baseline JPEG (ITU-T T.81): a from-scratch codec so the codec-class
 # guard narrows to formats that genuinely need an external library
-# (WebP's VP8, video; arithmetic-coded / hierarchical / lossless
-# JPEG). The decoder handles any spec-conformant Huffman DCT stream,
+# (WebP's lossy VP8, video; arithmetic-coded / hierarchical / lossless
+# JPEG — WebP-lossless decodes natively via operators/webp.py). The decoder handles any spec-conformant Huffman DCT stream,
 # BASELINE (SOF0/1) or PROGRESSIVE (SOF2): DQT (8/16 bit), canonical
 # DHT, sampling factors up to 2x2 (chroma upsampled by replication),
 # DRI/RSTn restarts, 0xFF00 byte unstuffing, Huffman + extend entropy
@@ -1407,8 +1409,9 @@ def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, in
     """Real decode: sniff the container by magic bytes and recover
     actual pixels → (width, height, channels, pixel bytes — rows
     top-down). BMP/PPM/PNG/JPEG (baseline incl. multi-scan and
-    restarts, progressive)/GIF decode with stdlib + numpy alone; the
-    remaining codec-class boundary is WebP (VP8) and inter-coded
+    restarts, progressive)/GIF/TIFF and WebP-LOSSLESS (VP8L,
+    operators/webp.py) decode with stdlib + numpy alone; the
+    remaining codec-class boundary is lossy WebP (VP8) and inter-coded
     video, which raise NotImplementedError — the declared swap-in
     point for a PIL/ffmpeg kernel."""
     if blob[:8] == _PNG_SIG:
@@ -1423,11 +1426,13 @@ def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, in
         return _decode_gif(blob)
     if blob[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(blob)
-    if blob[8:12] == b"WEBP":
-        raise NotImplementedError(
-            "WebP (VP8 entropy coding) needs an image codec not present "
-            "in this environment"
-        )
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        # lossless (VP8L) decodes natively (operators/webp.py, r8);
+        # lossy VP8 / extended VP8X raise inside decode_vp8l — the
+        # narrowed remaining codec boundary
+        from firefly_vcut_spark.operators.webp import decode_vp8l
+
+        return decode_vp8l(blob)
     raise ValueError(f"unrecognized image container (fmt hint: {fmt!r})")
 
 
@@ -1524,6 +1529,43 @@ def encode_synthetic_ppm(docs: DataFrame) -> DataFrame:
                 i = int(doc_id)
                 w, h = 8 + i % 9, 6 + i % 5
                 blobs.append(encode_ppm(w, h, synthetic_pixels(i, w, h)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "doc_id long, blob binary"
+    )
+
+
+def encode_synthetic_webp(docs: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, blob): each doc gets a real RIFF/VP8L
+    (WebP-lossless) container of its synthetic 4-channel pattern. The
+    encode MODE rotates by doc_id — plain LZ77, subtract-green,
+    single-tile predictor (mode cycling through all 14), single-tile
+    color transform, color cache, 1-tile meta-prefix — so a corpus
+    scan exercises every VP8L decoder path while the decoded pixels
+    (and hence the oracle) stay mode-invariant."""
+    from firefly_vcut_spark.operators.webp import encode_vp8l
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 8 + i % 9, 6 + i % 5
+                rgba = synthetic_pixels(i, w, h, ch=4)
+                mode = i % 6
+                kw = {}
+                if mode == 1:
+                    kw["transform"] = "subtract_green"
+                elif mode == 2:
+                    kw["transform"] = ("predictor", i % 14)
+                elif mode == 3:
+                    kw["transform"] = ("color", (17, 200, 5))
+                elif mode == 4:
+                    kw["cache_bits"] = 6
+                elif mode == 5:
+                    kw["use_meta"] = True
+                blobs.append(encode_vp8l(rgba, w, h, **kw))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     return docs.select("doc_id").mapInPandas(

@@ -1369,6 +1369,60 @@ def mm_real_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_webp_decode_roundtrip",
+    sql="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(w * h * 4)) AS i FROM dims
+    ),
+    v AS (
+      SELECT doc_id, w, h, i,
+             ((((i // 4) % w) * 7 + (i // (4 * w)) * 31
+               + (i % 4) * 101 + doc_id) % 256) AS val
+      FROM px
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(4 AS INTEGER) AS channels,
+           round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_pixel,
+           CAST(sum(val * (i + 1)) % 2147483647 AS BIGINT) AS pos_checksum
+    FROM v GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "extension", "udf"),
+)
+def mm_webp_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP-lossless (VP8L) round-trip inside the engine (r7 verdict
+    item 8 — the last declared codec guard): every doc's deterministic
+    4-channel pattern is encoded as a real RIFF/VP8L container with
+    the encode mode rotating by doc_id (plain LZ77 / subtract-green /
+    all 14 predictor modes / color transform / color cache /
+    meta-prefix — operators/webp.py), then decoded back by the
+    from-scratch VP8L decoder and reduced to features. The pixels are
+    a pure function of (doc_id, x, y, c), so DuckDB recomputes the
+    expected dims/mean/position-weighted checksum directly — one
+    corrupted byte anywhere in prefix-code, LZ77, cache, or transform
+    handling moves the hash."""
+    from firefly_vcut_spark.operators.multimodal import (
+        decode_features_real,
+        encode_synthetic_webp,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = decode_features_real(encode_synthetic_webp(d))
+    return feats.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("mean_pixel").cast("double").alias("mean_pixel"),
+        F.col("pos_checksum").cast("bigint").alias("pos_checksum"),
+    )
+
+
+@query(
     "mm_tiff_decode_roundtrip",
     sql="""
     WITH dims AS (
