@@ -217,3 +217,24 @@ def encode_piece_counts(
             F.sum("n_pieces").cast("long").alias("n_pieces"),
         )
     )
+
+
+def piece_usage_delta(docs: DataFrame, merges: list[dict]) -> DataFrame:
+    """(piece, n_uses): freq-weighted BPE piece-usage counts of every
+    word in ``docs`` under a FROZEN merge table — the BPE twin of
+    ``unigram.piece_usage_delta``, with the same summable-delta
+    contract: merge application is deterministic under a fixed table,
+    so per-batch deltas summed equal the whole-corpus delta no matter
+    how the corpus was micro-batched, and only SUM-mergeable fields
+    ride in the delta (a distinct-count would double across batches).
+    Scale shape: the rep projection runs on the vocab-bounded
+    per-batch word table; only (piece, count) rows reach the rollup."""
+    words = word_freq_table(docs)
+    reps = rep_table(words, [(m["a"], m["b"]) for m in merges])
+    return (
+        reps.select(
+            "freq", F.explode(F.split(F.trim(F.col("rep")), "  ")).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("n_uses"))
+    )

@@ -886,7 +886,8 @@ def write_token_usage_sink(
     stream_docs: DataFrame,
     store_root: str,
     checkpoint_dir: str,
-    pieces: list[tuple[str, int]],
+    pieces: list[tuple[str, int]] | None = None,
+    delta_fn=None,
 ) -> str:
     """Streaming tokenizer-encode accounting (the batch-incremental
     twin of the unigram encode path): each micro-batch of documents is
@@ -903,15 +904,29 @@ def write_token_usage_sink(
     ``write_inverted_index_sink`` — n_uses is SUMMED at read, so an
     untagged first-batch write redelivered after a crash would
     double-count; every batch goes down the tagged append path over a
-    one-time empty schema-bearing base."""
+    one-time empty schema-bearing base.
+
+    Model-agnostic: default is the unigram Viterbi delta under
+    ``pieces``; pass ``delta_fn`` (batch docs → (piece, n_uses)) to
+    serve another frozen tokenizer — e.g.
+    ``operators/bpe.piece_usage_delta`` for a BPE merge table. Any
+    delta_fn must keep the summable-delta contract."""
     from firefly_vcut_spark.operators.unigram import piece_usage_delta
     from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    if delta_fn is None:
+        if pieces is None:
+            raise ValueError("pass a unigram piece table or a delta_fn")
+        frozen = pieces
+
+        def delta_fn(batch_df: DataFrame) -> DataFrame:
+            return piece_usage_delta(batch_df, frozen)
 
     spark = stream_docs.sparkSession
     store = SnapshotStore(spark, store_root)
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = piece_usage_delta(batch_df, pieces)
+        delta = delta_fn(batch_df)
         if not store.exists("piece_usage"):
             store.write("piece_usage", delta.limit(0))
         store.append_segment(

@@ -134,3 +134,24 @@ def test_usage_batch_zero_redelivery_does_not_double_count(
     write_token_usage_sink(one_batch_stream(), root, ck, pieces)
     s2 = _usage_map(read_token_usage(spark, root))
     assert s1 == s2 and len(s1) > 0
+
+
+def test_streamed_bpe_usage_equals_batch_encode(spark, sf_dir, tmp_path):
+    """The sink is model-agnostic: a FROZEN BPE merge table served via
+    delta_fn yields stream==batch piece-usage totals under arbitrary
+    micro-batching, same as the unigram default."""
+    from firefly_vcut_spark.operators import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(bpe.word_freq_table(d), num_merges=8)
+
+    def delta_fn(batch_df):
+        return bpe.piece_usage_delta(batch_df, merges)
+
+    stream = _stream_docs(spark, sf_dir, tmp_path, name="doc_parts_bpe")
+    root = write_token_usage_sink(
+        stream, str(tmp_path / "bstore"), str(tmp_path / "bck"), delta_fn=delta_fn
+    )
+    streamed = _usage_map(read_token_usage(spark, root))
+    batch = _usage_map(bpe.piece_usage_delta(d, merges))
+    assert streamed == batch and len(batch) > 0
