@@ -20,10 +20,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Two registry queries are intentionally absent from the default list
+# (measured r8, SCALING.md §sf10): w1_flagship_occurrence_scan's
+# fixture derives songs from the same table as transcripts, so scored
+# pairs grow quadratically with SF (GC-thrashes at sf10 — run
+# tools/w1_scale_probe.py instead, which pins the catalog); and
+# dedup_lsh_recall's exact-AllPairs ground truth goes quadratic in
+# prefix-bucket occupancy on the vocab-saturated tiled corpus (run its
+# production-shaped sampled eval instead).
 HEAVY_SIX = [
-    "w1_flagship_occurrence_scan",
     "dedup_minhash_lsh",
-    "dedup_lsh_recall",
     "corpus_dedup_components",
     "corpus_dsir_select",
     "text_bpe_encode_docs",
