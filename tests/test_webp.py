@@ -98,3 +98,32 @@ def test_decode_image_real_sniffs_webp():
 
     rgba = _img(9, 4, seed=9)
     assert decode_image_real(encode_vp8l(rgba, 9, 4))[3] == rgba
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 18),
+        seed=st.integers(0, 2**31),
+        ncolors=st.sampled_from([None, 2, 5, 16]),
+        mode=st.integers(0, len(MODES) - 1),
+    )
+    def test_roundtrip_hypothesis(w, h, seed, ncolors, mode):
+        """Property fuzz across geometry x palette x encode mode: the
+        decoder must invert every spec-legal stream the encoder can
+        produce, bit-exactly."""
+        rgba = _img(w, h, ncolors, seed)
+        _, kw = MODES[mode]
+        dw, dh, ch, out = decode_vp8l(encode_vp8l(rgba, w, h, **kw))
+        assert (dw, dh, ch) == (w, h, 4)
+        assert out == rgba
