@@ -108,9 +108,12 @@ def j1_join_archive_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2_join_3way_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way dimension chain with the P5 non-empty-lyrics predicate
     (dblocal.py:77-81). Catalyst broadcast-joins both small dims."""
-    s = fx.songs(spark, sf_dir).filter(
-        F.col("lyrics_fragment").isNotNull() & (F.col("lyrics_fragment") != "")
-    )
+    # P5 filter via fx.songs_with_valid_lyrics: the predicate lives on
+    # base columns, not the constructed lyrics HOF — filtering on the
+    # HOF column mis-binds under AQE at sf10 (Spark 4.1
+    # ATTRIBUTE_NOT_FOUND in FilterExec; fixture docstring + SCALING.md
+    # §sf10) and re-evaluates the window assembly per row besides.
+    s = fx.songs_with_valid_lyrics(spark, sf_dir)
     vs = fx.vtuber_songs(spark, sf_dir)
     p = fx.profiles(spark, sf_dir)
     return (
@@ -245,9 +248,12 @@ def a3_array_agg_song_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant the J9 zip-join depends on. Arrays serialized to CSV
     strings for a stable cross-engine hash; inner join (not left) so
     the Postgres `[NULL]`-array quirk (SURVEY §7.3) never arises."""
-    s = fx.songs(spark, sf_dir).filter(
-        F.col("lyrics_fragment").isNotNull() & (F.col("lyrics_fragment") != "")
-    )
+    # P5 filter via fx.songs_with_valid_lyrics: the predicate lives on
+    # base columns, not the constructed lyrics HOF — filtering on the
+    # HOF column mis-binds under AQE at sf10 (Spark 4.1
+    # ATTRIBUTE_NOT_FOUND in FilterExec; fixture docstring + SCALING.md
+    # §sf10) and re-evaluates the window assembly per row besides.
+    s = fx.songs_with_valid_lyrics(spark, sf_dir)
     vs = fx.vtuber_songs(spark, sf_dir)
     paired = s.join(vs, "song_id").select("song_id", vs.id.alias("vs_id"), "vtuber_profile_id")
     # collect (vs_id, vp_id) structs, sort once, project both arrays —

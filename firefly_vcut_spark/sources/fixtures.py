@@ -338,3 +338,30 @@ def with_fixtures(body: str, *names: str) -> str:
     """
     ctes = ",".join(FIXTURE_SQL[n] for n in names)
     return f"WITH {ctes}\n{body}"
+
+
+def songs_with_valid_lyrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``songs`` rows passing the P5 filter (lyrics_fragment NOT NULL
+    and != ''), with the predicate expressed on BASE columns instead
+    of the constructed lyrics column: NULL ⇔ n%7==3, '' ⇔ n%7==5 (the
+    planted empty) or no window survives — the minimum group g=n%2
+    exists iff (n%2)·WORDS_PER_SEG < len(words). Verified identical to
+    the lyrics-column filter at sf0.001→sf10.
+
+    Why this exists (r8): filtering on the lyrics column inlines the
+    whole window-assembly HOF expression into the Filter predicate,
+    and under AQE at sf10 Spark 4.1 mis-binds that predicate's lambda
+    attributes against the OTHER documents-derived branch of a
+    self-join ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] in FilterExec —
+    SCALING.md §sf10). A base-column predicate is also the better
+    plan: it pushes toward the scan instead of re-evaluating the
+    window assembly per filtered row."""
+    n = F.expr(f"doc_id div {SONG_MOD}")
+    n_words = F.size(F.split("text", " "))
+    valid = (~(n % 7).isin(3, 5)) & ((n % 2) * WORDS_PER_SEG < n_words)
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % SONG_MOD == 0) & (F.length("text") > 0) & valid)
+        .select(F.col("doc_id").alias("song_id"))
+    )
+    return songs(spark, sf_dir).join(ids, "song_id", "left_semi")

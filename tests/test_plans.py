@@ -437,3 +437,30 @@ def test_audit_card_single_ledger_pass_no_stage_recompute(spark, sf_dir):
     for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m
     assert lint_plan(df) == []
+
+
+def test_valid_lyrics_base_predicate_equals_hof_filter(spark, sf_dir):
+    """fx.songs_with_valid_lyrics must select EXACTLY the songs whose
+    constructed lyrics_fragment is non-null and non-empty — the
+    base-column predicate (n%7 plant + surviving-window arithmetic) is
+    the pushdown-safe form a3/j2 filter with, after the HOF-column
+    filter mis-bound under AQE at sf10 (Spark 4.1
+    ATTRIBUTE_NOT_FOUND; SCALING.md §sf10)."""
+    from pyspark.sql import functions as F
+
+    from firefly_vcut_spark.sources import fixtures as fx
+
+    via_hof = {
+        r.song_id
+        for r in fx.songs(spark, sf_dir)
+        .filter(
+            F.col("lyrics_fragment").isNotNull() & (F.col("lyrics_fragment") != "")
+        )
+        .select("song_id")
+        .collect()
+    }
+    via_base = {
+        r.song_id
+        for r in fx.songs_with_valid_lyrics(spark, sf_dir).select("song_id").collect()
+    }
+    assert via_base == via_hof and via_hof
