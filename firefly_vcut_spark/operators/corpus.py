@@ -98,10 +98,17 @@ def decontaminate(
     from firefly_vcut_spark.operators.text import word_ngrams
 
     def grams(df: DataFrame) -> DataFrame:
-        toks = F.split(normalized_text(F.col(text_col)), " ")
-        return df.select(
+        # bind the token array in a child projection FIRST: an unbound
+        # split(...) inside the n-gram lambda re-tokenizes the text per
+        # element_at — O(len²) per doc, measured 25x at sf0.1 (the trap
+        # plans/decon_sql.py documents; r8 sf10 probe caught this copy)
+        t = df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_ngrams(toks, n))).alias("gram"),
+            F.split(normalized_text(F.col(text_col)), " ").alias("toks"),
+        )
+        return t.select(
+            "id",
+            F.explode(F.array_distinct(word_ngrams(F.col("toks"), n))).alias("gram"),
         )
 
     bench_grams = grams(benchmark).select("gram").distinct()
@@ -132,10 +139,17 @@ def contaminated_ids(
     from firefly_vcut_spark.operators.text import word_ngrams
 
     def grams(df: DataFrame) -> DataFrame:
-        toks = F.split(normalized_text(F.col(text_col)), " ")
-        return df.select(
+        # bind the token array in a child projection FIRST: an unbound
+        # split(...) inside the n-gram lambda re-tokenizes the text per
+        # element_at — O(len²) per doc, measured 25x at sf0.1 (the trap
+        # plans/decon_sql.py documents; r8 sf10 probe caught this copy)
+        t = df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_ngrams(toks, n))).alias("gram"),
+            F.split(normalized_text(F.col(text_col)), " ").alias("toks"),
+        )
+        return t.select(
+            "id",
+            F.explode(F.array_distinct(word_ngrams(F.col("toks"), n))).alias("gram"),
         )
 
     bench_grams = grams(benchmark).select("gram")

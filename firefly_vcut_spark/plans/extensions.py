@@ -1723,9 +1723,13 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     few n-grams; both signals feed the filter chain upstream of
     training. 100 TB shape: (a) rides the scan; (b) shuffles only
     (id, gram-hash, count) partial aggregates."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tx.tokens(F.col("text"))
-    g3 = tx.word_ngrams(toks, 3)
+    # bind the token array in a child projection first: an unbound
+    # tokens(...) inside the n-gram lambda re-splits the text per
+    # element_at — O(len²) per doc (decon_sql's documented trap; r8)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.tokens(F.col("text")).alias("tk")
+    )
+    g3 = tx.word_ngrams(F.col("tk"), 3)
     dup3 = d.select(
         "doc_id",
         F.when(
@@ -1736,7 +1740,7 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup3_frac"),
     )
     g2 = d.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", F.explode(tx.word_ngrams(toks, 2)).alias("gram")
+        "doc_id", F.explode(tx.word_ngrams(F.col("tk"), 2)).alias("gram")
     )
     counted = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     top2 = counted.groupBy("doc_id").agg(

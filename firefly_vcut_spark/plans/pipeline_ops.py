@@ -883,12 +883,18 @@ def corpus_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("text")),
     )
-    grams = docs.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(tx.word_ngrams(tx.tokens(F.col("text")), 4))
-        ).alias("gram"),
+    # token array bound in a child projection (decon_sql's O(len²)
+    # inline-split trap; r8)
+    grams = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "source", tx.tokens(F.col("text")).alias("tk"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(tx.word_ngrams(F.col("tk"), 4))
+            ).alias("gram"),
+        )
     )
     per_sg = grams.groupBy("source", "gram").agg(F.count("*").alias("n_docs"))
     tot = docs.groupBy("source").agg(F.count("*").alias("src_docs"))
@@ -1073,13 +1079,18 @@ def corpus_prepare_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     # stage 3: decontaminate vs the holdout's 4-gram set (broadcast)
-    grams4 = lambda c: F.array_distinct(tx.word_ngrams(tx.tokens(c), 4))  # noqa: E731
+    # token arrays bound in a child projection (decon_sql's O(len²)
+    # inline-split trap; r8)
+    grams4 = lambda t: F.array_distinct(tx.word_ngrams(t, 4))  # noqa: E731
     bench_g = (
         d.filter(F.col("doc_id") % 41 == 0)
-        .select(F.explode(grams4(F.col("text"))).alias("gram"))
+        .select(tx.tokens(F.col("text")).alias("tk"))
+        .select(F.explode(grams4(F.col("tk"))).alias("gram"))
         .distinct()
     )
-    doc_g = corpus2.select("doc_id", F.explode(grams4(F.col("text"))).alias("gram"))
+    doc_g = corpus2.select(
+        "doc_id", tx.tokens(F.col("text")).alias("tk")
+    ).select("doc_id", F.explode(grams4(F.col("tk"))).alias("gram"))
     flagged = doc_g.join(F.broadcast(bench_g), "gram").select("doc_id").distinct()
     corpus3 = corpus2.join(flagged, "doc_id", "left_anti")
     # stage 4: split + shard manifest
