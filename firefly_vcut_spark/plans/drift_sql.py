@@ -65,14 +65,14 @@ def _features_col():
     )
 
 
-def distribution_drift(events: DataFrame, ref_pred, feature_col=None) -> DataFrame:
-    """Total-variation drift between the ``ref_pred`` window and its
-    complement, per feature/bucket. All shares are floored integer
-    parts-per-million (BIGINT-safe to ~9e12 rows per window; a true
-    100 TB run casts the ppm numerator to decimal(38,0) — same plan).
-    """
+def bucket_counts(events: DataFrame, ref_pred, feature_col=None) -> DataFrame:
+    """Stage 1 of the drift audit: per (feature, bucket) counts in the
+    reference window (``ref_pred``) and its complement. This is the
+    SUMMABLE part — per-batch outputs from disjoint slices add up to
+    the full-data counts, which is what the streaming drift sink
+    appends as segments (streaming/incremental.write_drift_monitor_sink)."""
     feats = feature_col if feature_col is not None else _features_col()
-    per_bucket = (
+    return (
         events.select(
             F.explode(feats).alias("fb"),
             F.when(ref_pred, F.lit(1)).otherwise(F.lit(0)).alias("is_ref"),
@@ -83,6 +83,11 @@ def distribution_drift(events: DataFrame, ref_pred, feature_col=None) -> DataFra
             F.sum(1 - F.col("is_ref")).cast("long").alias("cur_cnt"),
         )
     )
+
+
+def drift_from_counts(per_bucket: DataFrame) -> DataFrame:
+    """Stage 2: shares + total-variation from consolidated counts.
+    Runs on the bounded (feature, bucket) relation, never on events."""
     w = Window.partitionBy("feature")
     shared = (
         per_bucket.withColumn("ref_tot", F.sum("ref_cnt").over(w))
@@ -101,6 +106,15 @@ def distribution_drift(events: DataFrame, ref_pred, feature_col=None) -> DataFra
         F.col("delta_ppm").cast("long").alias("delta_ppm"),
         (F.sum("delta_ppm").over(w) / F.lit(2)).cast("long").alias("feature_tv_ppm"),
     )
+
+
+def distribution_drift(events: DataFrame, ref_pred, feature_col=None) -> DataFrame:
+    """Total-variation drift between the ``ref_pred`` window and its
+    complement, per feature/bucket. All shares are floored integer
+    parts-per-million (BIGINT-safe to ~9e12 rows per window; a true
+    100 TB run casts the ppm numerator to decimal(38,0) — same plan).
+    """
+    return drift_from_counts(bucket_counts(events, ref_pred, feature_col))
 
 
 _DRIFT_SQL_FEATURES = "\nUNION ALL\n".join(

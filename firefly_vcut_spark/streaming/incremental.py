@@ -956,3 +956,73 @@ def read_token_usage(spark: SparkSession, store_root: str) -> DataFrame:
         .groupBy("piece")
         .agg(F.sum("n_uses").cast("long").alias("n_uses"))
     )
+
+
+def write_drift_monitor_sink(
+    stream_events: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    ref_pred=None,
+) -> str:
+    """Always-on distribution-drift monitoring: each micro-batch of
+    events folds to its per-(feature, bucket) reference/current count
+    delta (``plans/drift_sql.bucket_counts`` — the SUMMABLE stage of
+    the batch ``agg_distribution_drift`` audit) and is APPENDED as a
+    tagged O(alphabet) segment. The running drift report (floored-ppm
+    shares + per-feature total-variation) is merge-on-read via
+    ``read_drift_report``, which applies the same stage-2 math the
+    batch query uses — stream == batch by construction of the shared
+    code path, asserted end-to-end in tests/test_streaming_drift.py.
+
+    Exactly-once: counts are SUMMED at read, so the all-tagged segment
+    discipline of ``write_inverted_index_sink`` applies verbatim —
+    every batch (including batch 0, over a one-time empty
+    schema-bearing base) appends under a (query, batch_id) tag, and
+    crash re-delivery is a store no-op.
+
+    State is O(feature alphabet) per batch (23 buckets for the default
+    feature set), so a day of micro-batches is KBs — the always-on
+    shape a 100 TB ingest wants."""
+    from firefly_vcut_spark.plans.drift_sql import bucket_counts
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    pred = ref_pred if ref_pred is not None else (F.hour("ts") < 12)
+    spark = stream_events.sparkSession
+    store = SnapshotStore(spark, store_root)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = bucket_counts(batch_df, pred)
+        if not store.exists("drift_counts"):
+            store.write("drift_counts", delta.limit(0))
+        store.append_segment(
+            "drift_counts", delta, tag=_sink_tag(checkpoint_dir, batch_id)
+        )
+
+    q = (
+        stream_events.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store_root
+
+
+def read_drift_report(spark: SparkSession, store_root: str) -> DataFrame:
+    """Merge-on-read drift report over streamed count segments:
+    consolidate by SUM per (feature, bucket) — disjoint-by-batch
+    partial counts add exactly — then run the batch audit's stage-2
+    share/TV math on the bounded alphabet relation."""
+    from firefly_vcut_spark.plans.drift_sql import drift_from_counts
+    from firefly_vcut_spark.sources.snapshots import SnapshotStore
+
+    counts = (
+        SnapshotStore(spark, store_root)
+        .read("drift_counts")
+        .groupBy("feature", "bucket")
+        .agg(
+            F.sum("ref_cnt").cast("long").alias("ref_cnt"),
+            F.sum("cur_cnt").cast("long").alias("cur_cnt"),
+        )
+    )
+    return drift_from_counts(counts)
