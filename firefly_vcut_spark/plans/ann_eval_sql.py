@@ -1,0 +1,231 @@
+"""Embedding-pipeline evals #2 — two measurements a production
+vector stack runs before committing to a configuration:
+
+* ``ann_matryoshka_recall`` — dimension-ablation recall: top-5 under
+  TRUNCATED embeddings (first 16 of 64 dims — the Matryoshka /
+  MRL-style cheap index) scored against the full-dimension exact
+  ground truth. The number that decides whether the short index is
+  good enough to serve.
+* ``corpus_semantic_decon`` — semantic decontamination: flag corpus
+  vectors whose cosine against ANY held-out eval vector crosses a
+  threshold — the embedding-space complement of the 13-gram textual
+  scan (plans/decon_sql.py), catching paraphrased leakage n-grams
+  can't see.
+
+Both pin their query/eval sets to a FIXED id range (first-copy ids,
+``vec_id < 20000``) — a real benchmark suite / query sample is O(fixed)
+while the corpus grows, so the corpus-side work scales linearly and
+the broadcast side stays bounded at any SF (the same fixed-catalog
+discipline as tools/w1_scale_probe.py).
+
+Reference scope note: the reference (firefly-vcut) has no vector
+surface; this extends the ANN/eval families the brief adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firefly_vcut_spark.plans.registry import query
+from firefly_vcut_spark.sources.catalog import load_table
+
+_TRUNC = 16  # Matryoshka prefix length (of 64)
+_Q_PRED = "vec_id < 20000 AND vec_id % 50 = 0"  # fixed 400-query sample
+_EVAL_PRED = "vec_id < 20000 AND vec_id % 53 = 7"  # fixed eval suite
+_TAU = 0.30  # fixture-tuned (synthetic cross max ~0.49; same family as dedup_embedding_cosine)
+
+
+def _topk_sql(vec_expr: str, q_pred: str, k: int = 5) -> str:
+    """DuckDB twin of brute_force_topk under an arbitrary vector
+    expression (full or sliced)."""
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, {vec_expr} AS qv
+                   FROM embeddings WHERE {q_pred}),
+        c AS (SELECT vec_id AS neighbor_id, {vec_expr} AS cv FROM embeddings),
+        scored AS (
+            SELECT q.query_id, c.neighbor_id,
+                   round(list_cosine_similarity(q.qv, c.cv), 4) AS cos_sim
+            FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id FROM ranked WHERE rank <= {k}
+    """
+
+
+_FULL_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_TRUNC_V = f"list_transform(embedding[1:{_TRUNC}], x -> CAST(x AS DOUBLE))"
+
+
+@query(
+    "ann_matryoshka_recall",
+    sql=f"""
+    WITH truth AS ({_topk_sql(_FULL_V, _Q_PRED)}),
+    short AS ({_topk_sql(_TRUNC_V, _Q_PRED)}),
+    hits AS (
+        SELECT t.query_id, count(*) AS n_hits
+        FROM truth t JOIN short s
+          ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+        GROUP BY t.query_id
+    )
+    SELECT t.query_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 4) AS recall
+    FROM (SELECT DISTINCT query_id FROM truth) t
+    LEFT JOIN hits h USING (query_id)
+    """,
+    tags=("ann", "extension", "vector", "eval"),
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of 16-dim-prefix search vs the 64-dim exact
+    ground truth — the dimension-ablation eval (same harness shape as
+    ann_ivf_recall, which evaluates the IVF index instead). Scale
+    shape: two corpus scans (one per dimensionality) against the
+    bounded broadcast query sample; the overlap rollup shuffles
+    O(queries·k) id pairs. The truncated pass reads the SAME parquet
+    column — at scale you'd materialize the prefix column so the
+    short scan reads 4x fewer bytes; the plan is otherwise identical."""
+    from pyspark.sql import Window
+
+    from firefly_vcut_spark.functions.vectors import dot, norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def prep(df: DataFrame, idname: str) -> DataFrame:
+        return (
+            df.select(
+                F.col("vec_id").alias(idname),
+                F.col("embedding").cast("array<double>").alias(f"{idname}_v"),
+                F.slice(F.col("embedding").cast("array<double>"), 1, _TRUNC).alias(
+                    f"{idname}_s"
+                ),
+            )
+            .withColumn(f"{idname}_vn", norm(F.col(f"{idname}_v")))
+            .withColumn(f"{idname}_sn", norm(F.col(f"{idname}_s")))
+        )
+
+    c = prep(e, "neighbor_id").repartition(spark.sparkContext.defaultParallelism)
+    q = prep(e.filter(F.expr(_Q_PRED)), "query_id")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("query_id_v"), F.col("neighbor_id_v"))
+                / (F.col("query_id_vn") * F.col("neighbor_id_vn")),
+                4,
+            ).alias("cos_full"),
+            F.round(
+                dot(F.col("query_id_s"), F.col("neighbor_id_s"))
+                / (F.col("query_id_sn") * F.col("neighbor_id_sn")),
+                4,
+            ).alias("cos_short"),
+        )
+    )
+    # one exchange on query_id serves BOTH rankings (same partition
+    # key, different sort) — the two-pass form pays the corpus scan
+    # and the rank shuffle twice for identical output
+    wq = Window.partitionBy("query_id")
+    ranked = scored.withColumn(
+        "rank_full",
+        F.row_number().over(wq.orderBy(F.desc("cos_full"), F.asc("neighbor_id"))),
+    ).withColumn(
+        "rank_short",
+        F.row_number().over(wq.orderBy(F.desc("cos_short"), F.asc("neighbor_id"))),
+    )
+    return (
+        ranked.filter((F.col("rank_full") <= 5) | (F.col("rank_short") <= 5))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rank_full") <= 5) & (F.col("rank_short") <= 5), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / 5, 4).alias("recall"),
+        )
+    )
+
+
+@query(
+    "corpus_semantic_decon",
+    sql=f"""
+    WITH e AS (SELECT vec_id, {_FULL_V} AS v FROM embeddings),
+    q AS (SELECT vec_id AS eval_id, v FROM e WHERE {_EVAL_PRED}),
+    t AS (SELECT vec_id, v FROM e WHERE NOT ({_EVAL_PRED})),
+    scored AS (
+        SELECT t.vec_id, q.eval_id,
+               round(list_cosine_similarity(t.v, q.v), 4) AS cos_sim
+        FROM t CROSS JOIN q
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(count(*) AS BIGINT) AS n_eval_hits,
+           max(cos_sim) AS max_cos
+    FROM scored WHERE cos_sim >= {_TAU}
+    GROUP BY vec_id
+    """,
+    tags=("corpus", "dedup", "decontamination", "vector", "extension"),
+)
+def corpus_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: one row per corpus
+    vector whose cosine against any held-out eval vector reaches
+    {tau} — (vec_id, n eval hits, max cosine). Catches paraphrase
+    leakage the n-gram scan misses; a production pipeline runs BOTH
+    and unions the flag sets.
+
+    Scale shape: the eval suite is fixed-size and BROADCAST; scoring
+    is map-side JVM array math over one corpus scan, and the only
+    exchange is the flagged-vector rollup (output is bounded by the
+    leak count, not the corpus). The filter compares the ROUNDED
+    cosine so the τ boundary is engine-stable. At true scale, swap
+    the candidate generator to the IVF/LSH path (whose recall is
+    itself measured by ann_ivf_recall / dedup_lsh_recall) and keep
+    this exact verify on candidates only. (τ = 0.30, fixture-tuned.)"""
+    from firefly_vcut_spark.functions.vectors import dot, norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    is_eval = F.expr(_EVAL_PRED)
+    prep = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("n", norm(F.col("v")))
+    q = prep.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    # train side = corpus MINUS the eval suite via broadcast anti-join
+    # (the production shape: the benchmark is its own small table, not
+    # a predicate — and the corpus scan keeps its pushed-down filters)
+    t = prep.join(
+        F.broadcast(q.select(F.col("eval_id").alias("vec_id"))),
+        "vec_id",
+        "left_anti",
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return (
+        t.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            F.max("cos_sim").alias("max_cos"),
+        )
+    )

@@ -105,6 +105,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.unigram_sql  # noqa: F401
     import firefly_vcut_spark.plans.audit_sql  # noqa: F401
     import firefly_vcut_spark.plans.drift_sql  # noqa: F401
+    import firefly_vcut_spark.plans.ann_eval_sql  # noqa: F401
 
 
 # Registry-order insurance (VERDICT r1 item 8): the driver records the
