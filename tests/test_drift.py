@@ -82,3 +82,56 @@ def test_cusum_argmax_at_planted_changepoint(spark):
     assert int(out[9]["cusum_num"]) == -20_000
     # the series returns to exactly 0 at the end (telescoping identity)
     assert int(out[-1]["cusum_num"]) == 0
+
+
+def test_distribution_drift_matches_python_reference(spark):
+    """Randomized referee: the Spark report must equal a from-scratch
+    Python computation of counts, floored ppm shares, and TV — exact
+    integer semantics, not approximate agreement."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(400):
+            hour = rng.randrange(24)
+            et = rng.choice(["click", "view", "purchase"])
+            value = rng.randrange(0, 20000) / 100.0  # 2-decimal, < 200
+            uid = rng.randrange(0, 32)
+            rows.append(
+                (BASE + dt.timedelta(hours=hour, seconds=i), et, value, uid)
+            )
+        out = {
+            (r["feature"], r["bucket"]): r
+            for r in distribution_drift(
+                _events(spark, rows), F.hour("ts") < 12
+            ).collect()
+        }
+        # python referee
+        counts: dict = {}
+        for ts, et, value, uid in rows:
+            is_ref = ts.hour < 12
+            for feat, bucket in (
+                ("event_type", et),
+                ("value_band", str(int(round(value * 100)) // 5000)),
+                ("user_cohort", str(uid % 8)),
+            ):
+                c = counts.setdefault((feat, bucket), [0, 0])
+                c[0 if is_ref else 1] += 1
+        assert set(out) == set(counts)
+        for feat in {f for f, _ in counts}:
+            ref_tot = sum(c[0] for (f, _), c in counts.items() if f == feat)
+            cur_tot = sum(c[1] for (f, _), c in counts.items() if f == feat)
+            deltas = 0
+            for (f, b), (rc, cc) in counts.items():
+                if f != feat:
+                    continue
+                r = out[(f, b)]
+                assert (r["ref_cnt"], r["cur_cnt"]) == (rc, cc)
+                rppm, cppm = rc * 1_000_000 // ref_tot, cc * 1_000_000 // cur_tot
+                assert (r["ref_ppm"], r["cur_ppm"]) == (rppm, cppm)
+                assert r["delta_ppm"] == abs(rppm - cppm)
+                deltas += abs(rppm - cppm)
+            for (f, b), (rc, cc) in counts.items():
+                if f == feat:
+                    assert out[(f, b)]["feature_tv_ppm"] == deltas // 2
