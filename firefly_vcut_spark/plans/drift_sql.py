@@ -87,14 +87,36 @@ def bucket_counts(events: DataFrame, ref_pred, feature_col=None) -> DataFrame:
 
 def drift_from_counts(per_bucket: DataFrame) -> DataFrame:
     """Stage 2: shares + total-variation from consolidated counts.
-    Runs on the bounded (feature, bucket) relation, never on events."""
+    Runs on the bounded (feature, bucket) relation, never on events.
+
+    An EMPTY window is a real state for an always-on monitor (an
+    ingest that so far has only reference-hours events), so the ppm
+    shares guard the zero denominator explicitly — ANSI mode (this
+    repo's default) would otherwise throw DIVIDE_BY_ZERO at read
+    time. An absent window reports share 0 for every bucket, hence
+    TV = Σ|live ppm|/2 — "everything drifted", the alert a monitor
+    should raise. All division is integer DIV, bit-for-bit with the
+    oracle by construction (not merely because sums stay under 2^53)."""
     w = Window.partitionBy("feature")
     shared = (
         per_bucket.withColumn("ref_tot", F.sum("ref_cnt").over(w))
         .withColumn("cur_tot", F.sum("cur_cnt").over(w))
-        .withColumn("ref_ppm", F.expr(f"(ref_cnt * {_PPM}) DIV ref_tot"))
-        .withColumn("cur_ppm", F.expr(f"(cur_cnt * {_PPM}) DIV cur_tot"))
+        .withColumn(
+            "ref_ppm",
+            F.expr(
+                f"CASE WHEN ref_tot > 0 THEN (ref_cnt * {_PPM}) DIV ref_tot "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "cur_ppm",
+            F.expr(
+                f"CASE WHEN cur_tot > 0 THEN (cur_cnt * {_PPM}) DIV cur_tot "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
         .withColumn("delta_ppm", F.abs(F.col("ref_ppm") - F.col("cur_ppm")))
+        .withColumn("tv_sum", F.sum("delta_ppm").over(w))
     )
     return shared.select(
         "feature",
@@ -104,7 +126,7 @@ def drift_from_counts(per_bucket: DataFrame) -> DataFrame:
         F.col("ref_ppm").cast("long").alias("ref_ppm"),
         F.col("cur_ppm").cast("long").alias("cur_ppm"),
         F.col("delta_ppm").cast("long").alias("delta_ppm"),
-        (F.sum("delta_ppm").over(w) / F.lit(2)).cast("long").alias("feature_tv_ppm"),
+        F.expr("tv_sum DIV 2").cast("long").alias("feature_tv_ppm"),
     )
 
 
@@ -143,10 +165,14 @@ _DRIFT_SQL_FEATURES = "\nUNION ALL\n".join(
     ),
     ppm AS (
         SELECT feature, bucket, ref_cnt, cur_cnt,
-               (ref_cnt * {_PPM}) // ref_tot AS ref_ppm,
-               (cur_cnt * {_PPM}) // cur_tot AS cur_ppm,
-               abs((ref_cnt * {_PPM}) // ref_tot
-                   - (cur_cnt * {_PPM}) // cur_tot) AS delta_ppm
+               CASE WHEN ref_tot > 0 THEN (ref_cnt * {_PPM}) // ref_tot
+                    ELSE 0 END AS ref_ppm,
+               CASE WHEN cur_tot > 0 THEN (cur_cnt * {_PPM}) // cur_tot
+                    ELSE 0 END AS cur_ppm,
+               abs(CASE WHEN ref_tot > 0 THEN (ref_cnt * {_PPM}) // ref_tot
+                        ELSE 0 END
+                   - CASE WHEN cur_tot > 0 THEN (cur_cnt * {_PPM}) // cur_tot
+                          ELSE 0 END) AS delta_ppm
         FROM shared
     )
     SELECT feature, bucket, ref_cnt, cur_cnt,

@@ -128,9 +128,10 @@ def agg_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match IS the state ⊕ delta ≡ batch proof (exact because the
     merged statistics are counts and per-row-quantized BIGINT sums).
 
-    Scale: ΔO ⋈ L_old and O_old ⋈ ΔL are delta-sized probes of the big
-    side (index/bucket lookups on a cluster), ΔO ⋈ ΔL is tiny, and the
-    merge is a full-outer join on the MV key — nightly cost
+    Scale: ΔO ⋈ L_old and O_old ⋈ ΔL are delta-vs-big joins whose
+    strategy AQE picks from RUNTIME sizes — broadcast when the delta
+    is genuinely small, sort-merge when a backfill (or a stale
+    watermark, as on this fixture) makes it O(SF). Nightly cost is
     O(|Δ| + |state|), never O(|O| · |L| history re-join). The orders
     split key is o_orderdate and the lineitem split key l_shipdate:
     the algebra needs only disjointness, not aligned watermarks, which
@@ -171,14 +172,21 @@ def agg_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     state = agg(o_old, l_old)
-    # the delta sides are delta-sized by construction — broadcast them
-    # so the nightly refresh probes the big side instead of
-    # re-shuffling it (the bootstrap state join and the final MV-key
-    # merge are the two justified big-big joins)
+    # No broadcast hints on the delta branches: a watermark-derived
+    # "delta" is only small if the watermark is recent — on this
+    # fixture it is a FIXED mid-year split, so o_new/l_new are O(SF),
+    # and in production a backfill can widen any delta without warning.
+    # The r8 sf10 sweep proved the point: an unconditional
+    # F.broadcast(o_new) forced a 60M-row-scale build into driver
+    # memory and died with "Not enough memory to build and broadcast".
+    # AQE sees the true post-filter sizes at runtime and picks
+    # broadcast when (and only when) the delta actually is small —
+    # exactly the SCALING.md join doctrine ("at cluster scale drop the
+    # hint"). tests/test_plans.py gates that no hard hint reappears.
     delta = (
-        agg(F.broadcast(o_new), l_old)
-        .unionByName(agg(o_old, F.broadcast(l_new)))
-        .unionByName(agg(F.broadcast(o_new), l_new))
+        agg(o_new, l_old)
+        .unionByName(agg(o_old, l_new))
+        .unionByName(agg(o_new, l_new))
         .groupBy("order_key")
         .agg(
             F.sum("n").alias("n"),

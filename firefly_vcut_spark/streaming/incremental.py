@@ -1012,13 +1012,23 @@ def read_drift_report(spark: SparkSession, store_root: str) -> DataFrame:
     """Merge-on-read drift report over streamed count segments:
     consolidate by SUM per (feature, bucket) — disjoint-by-batch
     partial counts add exactly — then run the batch audit's stage-2
-    share/TV math on the bounded alphabet relation."""
+    share/TV math on the bounded alphabet relation.
+
+    An always-on monitor may be read before its stream has committed
+    a single micro-batch (the schema-bearing base is only written
+    inside fold_batch), so a missing table is a VALID "no data yet"
+    state — report it as an empty report, not FileNotFoundError."""
     from firefly_vcut_spark.plans.drift_sql import drift_from_counts
     from firefly_vcut_spark.sources.snapshots import SnapshotStore
 
+    store = SnapshotStore(spark, store_root)
+    if not store.exists("drift_counts"):
+        empty = spark.createDataFrame(
+            [], "feature string, bucket string, ref_cnt long, cur_cnt long"
+        )
+        return drift_from_counts(empty)
     counts = (
-        SnapshotStore(spark, store_root)
-        .read("drift_counts")
+        store.read("drift_counts")
         .groupBy("feature", "bucket")
         .agg(
             F.sum("ref_cnt").cast("long").alias("ref_cnt"),

@@ -464,3 +464,20 @@ def test_valid_lyrics_base_predicate_equals_hof_filter(spark, sf_dir):
         for r in fx.songs_with_valid_lyrics(spark, sf_dir).select("song_id").collect()
     }
     assert via_base == via_hof and via_hof
+
+
+def test_join_mv_no_hard_broadcast_on_watermark_deltas(spark, sf_dir):
+    """agg_incremental_join_mv: the watermark-derived "delta" branches
+    must carry NO hard broadcast hint — a fixed (or backfilled)
+    watermark makes a delta O(SF), and an unconditional F.broadcast on
+    one killed the sf10 sweep with a driver-side build OOM (SCALING.md
+    §sf10). The join strategy is AQE's call from runtime sizes: the
+    analyzed plan must be hint-free, and locally (post-filter deltas
+    small) AQE should still pick broadcast joins on its own."""
+    df = QS["agg_incremental_join_mv"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    # AQE (not a hint) chooses broadcast at this scale — the plan
+    # adapts instead of being pinned to the OOM shape
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in executed

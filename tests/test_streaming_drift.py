@@ -90,3 +90,41 @@ def test_drift_crash_redelivery_is_idempotent(spark, sf_dir, tmp_path):
     )
     write_drift_monitor_sink(replay, root, ck)
     assert _report_map(read_drift_report(spark, root)) == s1
+
+
+def test_drift_empty_window_reports_zero_shares_not_divide_by_zero(spark, sf_dir):
+    """An ingest that so far holds ONLY reference-hours events is a
+    real state for an always-on monitor: the current window is empty,
+    so its shares must report 0 ppm (TV = sum of live shares / 2),
+    not throw DIVIDE_BY_ZERO under ANSI mode (ADVICE r8)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.hour("ts") < 12)
+    rep = distribution_drift(ev, F.hour("ts") < 12)
+    rows = rep.collect()
+    assert rows
+    assert all(r["cur_cnt"] == 0 and r["cur_ppm"] == 0 for r in rows)
+    assert all(r["delta_ppm"] == r["ref_ppm"] for r in rows)
+    # per feature: TV = floor(sum(ref_ppm)/2) — "everything drifted"
+    by_feat: dict = {}
+    for r in rows:
+        by_feat.setdefault(r["feature"], []).append(r)
+    for rs in by_feat.values():
+        assert rs[0]["feature_tv_ppm"] == sum(r["ref_ppm"] for r in rs) // 2
+
+
+def test_drift_report_before_first_batch_is_empty_not_missing(spark, tmp_path):
+    """read_drift_report on a store whose stream has committed zero
+    micro-batches returns an EMPTY report with the report schema —
+    the 'no data yet' state of an always-on monitor — instead of
+    raising FileNotFoundError (ADVICE r8)."""
+    rep = read_drift_report(spark, str(tmp_path / "never_written_store"))
+    assert rep.count() == 0
+    assert rep.columns == [
+        "feature",
+        "bucket",
+        "ref_cnt",
+        "cur_cnt",
+        "ref_ppm",
+        "cur_ppm",
+        "delta_ppm",
+        "feature_tv_ppm",
+    ]
