@@ -22,6 +22,86 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE_TAG = "bench"
 
 
+FLOOR_QUERIES = [
+    # the five headline queries whose sf0.1 ratio vs DuckDB exceeds 2x
+    # with audited-correct plans: all sub-second absolute, bounded by
+    # Spark's fixed per-job scheduler cost rather than plan shape
+    # (SCALING.md "empty-job floor"). --floor pins that decomposition.
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "ann_bruteforce_topk",
+    "agg_graph_pagerank",
+    "text_tfidf_topterms",
+]
+
+
+def floor_mode() -> None:
+    """Measure the floor queries back-to-back in one warm session with
+    sf0.1-tuned shuffle partitions, count each query's Spark JOBS, and
+    report the floor-subtracted wall (wall − jobs × empty-job cost):
+    the residual that is actually attributable to the PLAN. Not used
+    for the headline metric — this quantifies how much of the >2x
+    small-SF ratios is fixed scheduler cost (run: python bench.py
+    --floor)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from firefly_vcut_spark.plans import all_queries
+    from firefly_vcut_spark.session import get_spark
+
+    spark = get_spark("firefly_vcut_spark-bench-floor")
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    qs = all_queries()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+
+    # empty-job floor, best-of-reps after one warm run. Use the SQL
+    # path (spark.range), not sc.range: the RDD path pays a heavier
+    # Py4J serialization round trip and over-states the floor the SQL
+    # queries actually pay per job.
+    spark.range(1).count()
+    empty = min(
+        _timed(lambda: spark.range(1).count()) for _ in range(max(reps, 5))
+    )
+
+    for name in FLOOR_QUERIES:  # warm codegen at tiny SF
+        qs[name].fn(spark, "/root/testdata/sf0.001").count()
+
+    tracker = sc.statusTracker()
+    rows = {}
+    for name in FLOOR_QUERIES:
+        best, jobs = float("inf"), 0
+        for i in range(reps):
+            group = f"floor-{name}-{i}"
+            sc.setJobGroup(group, name)
+            wall = _timed(lambda: qs[name].fn(spark, sf_dir).count())
+            n_jobs = len(tracker.getJobIdsForGroup(group))
+            if wall < best:
+                best, jobs = wall, n_jobs
+        sc.setJobGroup("", "")
+        rows[name] = {
+            "wall": round(best, 3),
+            "jobs": jobs,
+            "floor": round(jobs * empty, 3),
+            "plan_residual": round(max(best - jobs * empty, 0.0), 3),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "floor_decomposition",
+                "empty_job_sec": round(empty, 3),
+                "sf_dir": sf_dir,
+                "queries": rows,
+            }
+        )
+    )
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from firefly_vcut_spark.plans import all_queries
@@ -186,4 +266,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--floor" in sys.argv:
+        floor_mode()
+    else:
+        main()

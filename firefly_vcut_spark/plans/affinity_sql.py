@@ -262,13 +262,14 @@ def allpairs_candidates(
     )
 
 
-def _allpairs_sql() -> str:
-    """The exact AllPairs oracle as a standalone SELECT — shared by
-    the dedup_allpairs_prefix gate and the LSH recall eval (where it
-    nests as a derived table, its WITH scope shadowing the outer)."""
-    return f"""
-    WITH toks AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS t
-                  FROM documents),
+def _allpairs_ver_cte(corpus_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """The AllPairs candidate+verify chain as a CTE body ending at
+    ``ver`` (id_a, id_b, ix, sza, szb) — shared by the
+    dedup_allpairs_prefix oracle, the LSH recall eval, and the
+    banding-tuning eval (which needs the INTEGER intersection/union
+    sizes, not the rounded jaccard)."""
+    return f"""toks AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS t
+                  FROM ({corpus_sql})),
     shingled AS (SELECT id, {_SHINGLES} AS shs FROM toks),
     sh AS (SELECT id, unnest(shs) AS term FROM shingled),
     df AS (SELECT term, count(*) AS df FROM sh GROUP BY term),
@@ -290,7 +291,15 @@ def _allpairs_sql() -> str:
              sa.sz AS sza, sb.sz AS szb
       FROM cand c
       JOIN sized sa ON sa.id = c.id_a
-      JOIN sized sb ON sb.id = c.id_b)
+      JOIN sized sb ON sb.id = c.id_b)"""
+
+
+def _allpairs_sql() -> str:
+    """The exact AllPairs oracle as a standalone SELECT — shared by
+    the dedup_allpairs_prefix gate and the LSH recall eval (where it
+    nests as a derived table, its WITH scope shadowing the outer)."""
+    return f"""
+    WITH {_allpairs_ver_cte()}
     SELECT CAST(id_a AS BIGINT) AS id_a,
            CAST(id_b AS BIGINT) AS id_b,
            round(ix / (sza + szb - ix), 4) AS jaccard
@@ -327,8 +336,21 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, which is exactly what kills the stopword-key skew
     that plagues naive token joins.
     """
+    ver = allpairs_verified_pairs(load_table(spark, sf_dir, "documents"))
+    return ver.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round("jac", 4).alias("jaccard"),
+    )
+
+
+def allpairs_verified_pairs(docs: DataFrame) -> DataFrame:
+    """Exact AllPairs truth pairs with INTEGER sizes: (id_a, id_b, ix,
+    sza, szb, jac) for shingle-Jaccard ≥ τ over ``docs`` (doc_id,
+    text) — the shared Spark twin of ``_allpairs_ver_cte`` used by
+    dedup_allpairs_prefix, the recall eval, and the banding-tuning
+    eval (which consumes ix/union integers, not the rounded double)."""
     tau = ALLPAIRS_TAU
-    docs = load_table(spark, sf_dir, "documents")
     shingled = docs.select(
         F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("shs")
     )
@@ -340,17 +362,13 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sized.select(
         F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("szb")
     )
-    ver = (
+    return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("ix", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn("jac", F.col("ix") / (F.col("sza") + F.col("szb") - F.col("ix")))
         .filter(F.col("jac") >= tau)
-    )
-    return ver.select(
-        F.col("id_a").cast("long"),
-        F.col("id_b").cast("long"),
-        F.round("jac", 4).alias("jaccard"),
+        .select("id_a", "id_b", "ix", "sza", "szb", "jac")
     )
 
 

@@ -20,6 +20,7 @@ Two registrations:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from firefly_vcut_spark.functions.similarity import levenshtein_sum_ratio
 from firefly_vcut_spark.operators.fuzzy import fuzzy_occurrence_scan
@@ -130,4 +131,39 @@ def w1_lev_approx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx.segments(spark, sf_dir),
         fx.songs(spark, sf_dir),
         scorer=levenshtein_sum_ratio,
+    )
+
+
+# Fixed-catalog variant (r9, verdict task 5): the registry fixture
+# derives songs from the SAME documents table as the transcripts, so
+# at sfN both sides grow and the scored-pair count is quadratic in SF
+# by construction (14.7k output rows at sf0.1 → 1.47M at sf1) — a
+# fixture artifact, not an engine property. A real deployment scans a
+# growing corpus against a FIXED catalog; this query pins the catalog
+# to the sf0.1 doc_id tile (song_id < 5000 — doc_ids are 0-based
+# prefixes at every SF, so the cap selects the same 55 songs at sf0.3,
+# sf1, and sf10 while only the transcript side scales). The flagship's
+# linear-in-corpus claim (alpha 0.65, previously tools/w1_scale_probe)
+# now rests on an oracle-checked registry query. At sf ≤ 0.1 the cap
+# is non-binding (max doc_id 4999), so the gate-scale oracle checks
+# the identical windowed-scan machinery on the full fixture catalog.
+_FIXED_CATALOG_CAP = 5000
+
+_FIXED_SQL = _FLAGSHIP_SQL.replace(
+    "WHERE lyrics_fragment IS NOT NULL AND lyrics_fragment <> ''",
+    f"WHERE song_id < {_FIXED_CATALOG_CAP} "
+    "AND lyrics_fragment IS NOT NULL AND lyrics_fragment <> ''",
+)
+
+
+@query("w1_fixed_catalog", sql=_FIXED_SQL, tags=("flagship", "window", "fuzzy", "scale"))
+def w1_fixed_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 scan against a FIXED song catalog (song_id < 5000, the sf0.1
+    tile): the production-shaped scaling query — corpus grows, catalog
+    doesn't — whose sf1/sf10 walls carry the flagship's linear-scaling
+    claim (SCALING.md §sf10). Same exact-indel scoring, windowing,
+    argmax, and threshold as w1_flagship_occurrence_scan."""
+    return fuzzy_occurrence_scan(
+        fx.segments(spark, sf_dir),
+        fx.songs(spark, sf_dir).filter(F.col("song_id") < _FIXED_CATALOG_CAP),
     )

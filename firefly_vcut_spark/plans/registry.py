@@ -106,6 +106,7 @@ def _load_all() -> None:
     import firefly_vcut_spark.plans.audit_sql  # noqa: F401
     import firefly_vcut_spark.plans.drift_sql  # noqa: F401
     import firefly_vcut_spark.plans.ann_eval_sql  # noqa: F401
+    import firefly_vcut_spark.plans.lsh_tuning_sql  # noqa: F401
 
 
 # Registry-order insurance (VERDICT r1 item 8): the driver records the
@@ -116,66 +117,71 @@ def _load_all() -> None:
 # extended aggregates, window functions), so driver truncation can never
 # hide a whole-family regression. Everything else follows in
 # registration order. tests/test_oracle.py gates family coverage.
-# Round-8 rotation (VERDICT r7 item 2): 120 of 194 registry queries had
-# never appeared in a driver-recorded CORRECTNESS_r*.json after 7 rounds
-# of the driver's 50-slot window. This window keeps 10 fixed family
-# anchors (the 8 families whose every member is already driver-recorded
-# — s/t/set/fjson/w2/er/rag/ml — plus the w1 flagship and the headline
-# minhash-LSH dedup) and fills the other 40 slots with never-recorded
-# names, at least one per remaining family. Rotate again next round.
+# Round-9 rotation (VERDICT r8 item 3): after r8, 86 of 200 registry
+# queries had never appeared in a driver-recorded CORRECTNESS_r*.json.
+# This window is ALL never-recorded names (48 from that pool + the two
+# new r9 queries), front-loaded with this round's changed plans (the
+# join-MV broadcast fix, the two drift-guard queries) so the driver
+# re-records exactly what changed. No fixed anchors: the family-
+# coverage gate (tests/test_oracle.py) now accepts a family's absence
+# from the window iff EVERY member is already green in a committed
+# driver record — with 16 of 26 families fully recorded, anchors would
+# burn 16 slots and push full driver coverage past r10. Remaining
+# never-recorded after this round: 38 (17 agg + 21 q) — one more
+# rotation finishes the registry.
 _FRONT50 = [
-    # -- fixed anchors (families with no never-recorded member) --
-    "s1_scan_pushdown",
-    "t1_topk_recent_archives",
-    "set_union_accumulate",
-    "fjson_props_extract",
-    "w2_watermark_incremental",
-    "er_blocked_name_match",
-    "rag_context_assembly",
-    "ml_kmeans_full_lloyd",
-    "w1_flagship_occurrence_scan",
-    "dedup_minhash_lsh",
-    # -- never-driver-recorded rotation (round 8) --
-    "a2_song_video_watermark",
-    "p10_pair_anti_join_before_scan",
-    "f11_chunk_ranges",
-    "layout_pruning_compare",
-    "search_bm25_mrr",
-    "st_click_purchase_pairs",
-    "w_hopping_counts",
-    "w_session_windows",
-    "t_topk_per_group",
-    "t_scd2_asof_lookup",
-    "j3_fact_3way_join",
-    "j5_left_join_keep_unbridged",
-    "j_bloom_prefilter",
-    "j_salted_skew",
-    "mm_audio_wav_features",
-    "mm_video_rvid_frames",
-    "ann_ivf_recall",
-    "ann_pq_rerank_topk",
-    "dedup_allpairs_prefix",
-    "dedup_lsh_recall",
-    "corpus_canonical_docs",
-    "corpus_cluster_safe_split",
-    "corpus_quality_filter_chain",
-    "corpus_pii_redaction",
-    "corpus_stratified_sample",
-    "text_unigram_piece_scores",
-    "text_bpe_encode_docs",
-    "text_inverted_index",
-    "text_nb_langid_confusion",
-    "win_lead_lag_deltas",
-    "win_sessionize_ids",
-    "win_zscore_anomalies",
-    "win_scd2_history",
-    "agg_exact_quantile_twopass",
-    "agg_k_anonymity_audit",
-    "corpus_pipeline_audit_card",
-    "agg_retention_cohorts",
-    "agg_graph_triangles",
-    "q2_min_acctbal_supplier",
-    "q10_returned_items",
+    # -- changed or new this round --
+    "agg_incremental_join_mv",
+    "agg_distribution_drift",
+    "win_cusum_drift",
+    "w1_fixed_catalog",
+    "dedup_lsh_band_tuning",
+    # -- never-driver-recorded rotation (round 9) --
+    "agg_incremental_mv_merge",
+    "w1_lev_approx_scan",
+    "dedup_winnow_pairs",
+    "t_scd2_enrich_events",
+    "mm_real_decode_roundtrip",
+    "mm_webp_decode_roundtrip",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "ann_matryoshka_recall",
+    "text_repetition_scores",
+    "text_char_lm_scores",
+    "text_winnow_fingerprints",
+    "text_bpe_vocab_stats",
+    "text_unigram_em_rescore",
+    "text_unigram_em_reencode",
+    "text_unigram_encode_docs",
+    "text_tokenizer_fertility_compare",
+    "win_price_deciles",
+    "win_funnel_conversion",
+    "win_pareto_frontier",
+    "win_gapfill_daily",
+    "win_ewma_user_value",
+    "win_cumulative_distinct_users",
+    "win_rolling_active_users",
+    "corpus_incremental_dedup",
+    "corpus_centroid_assignment",
+    "corpus_decontaminate",
+    "corpus_domain_mixture",
+    "corpus_shuffle_shard",
+    "corpus_dup_span_removal",
+    "corpus_boilerplate_grams",
+    "corpus_quality_percentile_filter",
+    "corpus_prepare_manifest",
+    "corpus_temperature_mixture",
+    "corpus_weighted_sample",
+    "corpus_passage_chunks",
+    "corpus_semdedup",
+    "corpus_semantic_decon",
+    "agg_graph_pagerank",
+    "agg_dq_expectations",
+    "agg_gram_matrix",
+    "agg_pca_projection",
+    "agg_ols_regression",
+    "agg_kmv_distinct_users",
+    "q9_profit_by_nation_year",
 ]
 
 

