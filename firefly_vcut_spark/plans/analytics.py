@@ -392,7 +392,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c.c_nationkey
     """,
-    tags=("join", "subquery", "analytics"),
+    # may-be-empty: at sf ≤ 0.01 every above-average-balance customer
+    # happens to have orders (0 rows, first non-empty at sf0.1) — the
+    # one registry query legitimately empty at the driver gate scale.
+    tags=("join", "subquery", "analytics", "may-be-empty"),
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-subquery threshold + anti join. The

@@ -222,12 +222,19 @@ def cusum_daily(events: DataFrame) -> DataFrame:
         .withColumn("k", F.row_number().over(Window.partitionBy().orderBy("day")))
         .select(
             F.col("day").cast("string").alias("day"),
-            F.col("day_cents").cast("decimal(38,0)").alias("day_cents"),
+            # decimal(38,0) math, VARCHAR on the wire: the driver's hash
+            # surface is {BIGINT, DOUBLE, VARCHAR} (same contract as
+            # kmeans_sql's centroid output) — shipping raw DECIMAL(38,0)
+            # would hash-mismatch even when every digit is identical.
+            F.col("day_cents").cast("decimal(38,0)").cast("string").alias(
+                "day_cents"
+            ),
             (
                 F.col("cum_cents") * F.col("n_days")
                 - F.col("k") * F.col("total_cents")
             )
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("cusum_num"),
         )
     )
@@ -252,9 +259,9 @@ def cusum_daily(events: DataFrame) -> DataFrame:
         FROM daily
     )
     SELECT strftime(day, '%Y-%m-%d') AS day,
-           day_cents,
-           CAST(cum_cents * n_days - k * total_cents AS DECIMAL(38,0))
-               AS cusum_num
+           CAST(day_cents AS VARCHAR) AS day_cents,
+           CAST(CAST(cum_cents * n_days - k * total_cents AS DECIMAL(38,0))
+                AS VARCHAR) AS cusum_num
     FROM cum
     """,
     tags=("window", "analytics", "drift", "extension"),

@@ -154,6 +154,13 @@ _FIXED_SQL = _FLAGSHIP_SQL.replace(
     f"WHERE song_id < {_FIXED_CATALOG_CAP} "
     "AND lyrics_fragment IS NOT NULL AND lyrics_fragment <> ''",
 )
+# str.replace silently no-ops if the skeleton's WHERE text drifts, and
+# at gate scale the cap is non-binding so no test would notice — the
+# oracle would quietly revert to the unfiltered catalog (ADVICE r9).
+# Fail at import time instead.
+assert _FIXED_SQL != _FLAGSHIP_SQL, (
+    "w1_fixed_catalog oracle: catalog-cap substitution did not apply"
+)
 
 
 @query("w1_fixed_catalog", sql=_FIXED_SQL, tags=("flagship", "window", "fuzzy", "scale"))

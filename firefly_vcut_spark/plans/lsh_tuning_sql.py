@@ -14,10 +14,12 @@ the chosen row is the cheapest banding meeting the target recall.
 
 Integer-exact discipline: every probability lives in floored
 parts-per-million. j_ppm = (ix · 10⁶) DIV union; powers are computed
-by LEFT-FOLDED floored fixed-point multiplication
-x ← (x · y) DIV 10⁶ — the identical expression text is generated for
-both engines (only the integer-division token differs), so the oracle
-hash match is bit-for-bit with no pow()/float edge anywhere.
+by SQUARE-AND-MULTIPLY (binary exponentiation with a floor
+x ← (x · y) DIV 10⁶ after every product — flooring order matters, so a
+left-fold would give different low digits). The identical expression
+text is generated for both engines (only the integer-division token
+differs), so the oracle hash match is bit-for-bit with no pow()/float
+edge anywhere.
 
 Scale shape: the truth side is the AllPairs prefix join (heavy by its
 ORACLE replay, like dedup_lsh_recall; on a 100 TB corpus it runs on a
@@ -129,7 +131,11 @@ def _tuning_sql() -> str:
     cand_rows = "\n        UNION ALL\n        ".join(
         f"SELECT {b} AS bands, {r} AS rows_per_band, {b * r} AS num_hashes, "
         f"{detect_ppm_py(_FP_REF_J_PPM, b, r)} AS fp_at_j03_ppm, "
-        f"s_{b}_{r} // n AS exp_recall_ppm, n FROM s"
+        # recall over an empty truth set is defined as 0 — without the
+        # guard Spark's ANSI DIV throws DIVIDE_BY_ZERO while DuckDB's
+        # // returns NULL (engine-divergent; same guard as drift_sql).
+        f"CASE WHEN n > 0 THEN s_{b}_{r} // n ELSE 0 END "
+        f"AS exp_recall_ppm, n FROM s"
         for b, r in CANDIDATE_BANDINGS
     )
     return f"""
@@ -207,7 +213,12 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(detect_ppm_py(_FP_REF_J_PPM, b, r))
                         .cast("long")
                         .alias("fp_at_j03_ppm"),
-                        F.expr(f"s_{b}_{r} DIV n").cast("long").alias("exp_recall_ppm"),
+                        F.expr(
+                            f"CASE WHEN n > 0 THEN s_{b}_{r} DIV n "
+                            f"ELSE 0 END"
+                        )
+                        .cast("long")
+                        .alias("exp_recall_ppm"),
                     )
                     for b, r in CANDIDATE_BANDINGS
                 ]

@@ -117,71 +117,76 @@ def _load_all() -> None:
 # extended aggregates, window functions), so driver truncation can never
 # hide a whole-family regression. Everything else follows in
 # registration order. tests/test_oracle.py gates family coverage.
-# Round-9 rotation (VERDICT r8 item 3): after r8, 86 of 200 registry
-# queries had never appeared in a driver-recorded CORRECTNESS_r*.json.
-# This window is ALL never-recorded names (48 from that pool + the two
-# new r9 queries), front-loaded with this round's changed plans (the
-# join-MV broadcast fix, the two drift-guard queries) so the driver
-# re-records exactly what changed. No fixed anchors: the family-
-# coverage gate (tests/test_oracle.py) now accepts a family's absence
-# from the window iff EVERY member is already green in a committed
-# driver record — with 16 of 26 families fully recorded, anchors would
-# burn 16 slots and push full driver coverage past r10. Remaining
-# never-recorded after this round: 38 (17 agg + 21 q) — one more
-# rotation finishes the registry.
+# Round-10 rotation (VERDICT r9 item 4, the FINAL one): front-load the
+# four queries whose plans or oracles changed this round — the
+# de-vacuized join-MV (1996 window), the VARCHAR-cast CUSUM, the
+# zero-guarded banding sweep — plus `mm_frame_sample`, whose
+# ledger-latest driver record was still the stale r1 FAIL (fixed long
+# ago, judge-verified green at sf0.01, never re-rotated). Then ALL 38
+# names that have never appeared in any CORRECTNESS_r*.json (17 agg_*
+# + 21 q*_ — tools/rotation.py), which completes the registry: after
+# this window records, every one of the 202 queries has a driver
+# record. The remaining slots are bench-headline anchors (the
+# BENCH_r*.json walls the judge grades) so the perf table's rows carry
+# same-round correctness records too.
 _FRONT50 = [
-    # -- changed or new this round --
+    # -- changed plans / stale-FAIL re-records (round 10) --
     "agg_incremental_join_mv",
-    "agg_distribution_drift",
     "win_cusum_drift",
-    "w1_fixed_catalog",
     "dedup_lsh_band_tuning",
-    # -- never-driver-recorded rotation (round 9) --
-    "agg_incremental_mv_merge",
-    "w1_lev_approx_scan",
-    "dedup_winnow_pairs",
-    "t_scd2_enrich_events",
-    "mm_real_decode_roundtrip",
-    "mm_webp_decode_roundtrip",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "ann_matryoshka_recall",
-    "text_repetition_scores",
-    "text_char_lm_scores",
-    "text_winnow_fingerprints",
-    "text_bpe_vocab_stats",
-    "text_unigram_em_rescore",
-    "text_unigram_em_reencode",
-    "text_unigram_encode_docs",
-    "text_tokenizer_fertility_compare",
-    "win_price_deciles",
-    "win_funnel_conversion",
-    "win_pareto_frontier",
-    "win_gapfill_daily",
-    "win_ewma_user_value",
-    "win_cumulative_distinct_users",
-    "win_rolling_active_users",
-    "corpus_incremental_dedup",
-    "corpus_centroid_assignment",
-    "corpus_decontaminate",
-    "corpus_domain_mixture",
-    "corpus_shuffle_shard",
-    "corpus_dup_span_removal",
-    "corpus_boilerplate_grams",
-    "corpus_quality_percentile_filter",
-    "corpus_prepare_manifest",
-    "corpus_temperature_mixture",
-    "corpus_weighted_sample",
-    "corpus_passage_chunks",
-    "corpus_semdedup",
-    "corpus_semantic_decon",
-    "agg_graph_pagerank",
-    "agg_dq_expectations",
-    "agg_gram_matrix",
-    "agg_pca_projection",
-    "agg_ols_regression",
-    "agg_kmv_distinct_users",
-    "q9_profit_by_nation_year",
+    "mm_frame_sample",
+    # r10-found second vacuity (the non-empty gate caught it): the old
+    # mod-200 blocking never matched a transcript-bearing archive id,
+    # so every past record hashed ∅ = ∅ — re-record on real rows
+    "p10_pair_anti_join_before_scan",
+    # -- final never-driver-recorded rotation: agg family (17) --
+    "agg_distinct_users_daily",
+    "agg_pivot_status_by_priority",
+    "agg_value_percentiles",
+    "agg_cube_status_priority",
+    "agg_price_quantity_stats",
+    "agg_nations_per_region_list",
+    "agg_profile_documents",
+    "agg_skew_audit",
+    "agg_audience_overlap",
+    "agg_bitmap_audience_overlap",
+    "agg_kmv_click_purchase_overlap",
+    "agg_cms_heavy_hitters",
+    "agg_sampled_percentiles",
+    "agg_cms_join_size_estimate",
+    "agg_grouped_ols_by_segment",
+    "agg_item_cooccurrence",
+    "agg_unpivot_lineitem_metrics",
+    # -- final never-driver-recorded rotation: TPC-H family (21) --
+    "q4_priority_late_exists",
+    "q5_revenue_by_nation",
+    "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q11_important_parts",
+    "q12_lateness_by_priority",
+    "q13_order_count_distribution",
+    "q14_conditional_share",
+    "q14_promo_revenue_pct",
+    "q15_top_suppliers",
+    "q15_max_revenue_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_blocking_supplier",
+    "q22_idle_rich_customers",
+    "q22_dormant_customers",
+    # -- bench-headline anchors --
+    "w1_flagship_occurrence_scan",
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "dedup_minhash_lsh",
+    "corpus_dedup_components",
+    "corpus_pack_sequences",
+    "corpus_dsir_select",
 ]
 
 
