@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 from firefly_vcut_spark.plans.registry import query
 from firefly_vcut_spark.sources.catalog import load_table
 
-_WATERMARK = "2024-07-01 00:00:00"
+# Mid-range split: the events fixture spans 2024-01-01 .. 2024-01-30
+# at EVERY SF, so a watermark outside January makes the delta side
+# EMPTY everywhere — the r10 intermediate-vacuity audit
+# (tools/vacuity_audit.py) caught exactly that with the previous
+# 2024-07-01 value: the registered query's merge had never actually
+# merged a non-empty delta. Mid-January splits ~half/half.
+_WATERMARK = "2024-01-15 00:00:00"
 
 
 def user_aggregate_state(events: DataFrame) -> DataFrame:

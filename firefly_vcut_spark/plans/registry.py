@@ -139,6 +139,11 @@ _FRONT50 = [
     # mod-200 blocking never matched a transcript-bearing archive id,
     # so every past record hashed ∅ = ∅ — re-record on real rows
     "p10_pair_anti_join_before_scan",
+    # r10-found half-vacuity (tools/vacuity_audit.py): events span
+    # January 2024 only, so the old 2024-07-01 watermark made the
+    # delta side empty in every prior record — re-record with the
+    # mid-January split that finally merges two non-empty sides
+    "agg_incremental_mv_merge",
     # -- final never-driver-recorded rotation: agg family (17) --
     "agg_distinct_users_daily",
     "agg_pivot_status_by_priority",
@@ -185,7 +190,6 @@ _FRONT50 = [
     "q3_order_revenue",
     "dedup_minhash_lsh",
     "corpus_dedup_components",
-    "corpus_pack_sequences",
     "corpus_dsir_select",
 ]
 

@@ -20,24 +20,36 @@ def _canon(df):
 
 
 def test_merge_equals_full_for_any_split(spark, sf_dir):
+    # events span 2024-01-01 .. 2024-01-30 at every SF: the first two
+    # watermarks give genuine two-sided splits (the r10 vacuity audit
+    # showed the old March/September marks made one side empty every
+    # time); the last one keeps the degenerate all-state edge covered.
     ev = load_table(spark, sf_dir, "events")
     full = _canon(user_aggregate_state(ev))
-    for wm in ["2024-03-15 12:00:00", "2024-09-01 00:00:00"]:
+    for wm, two_sided in [
+        ("2024-01-10 12:00:00", True),
+        ("2024-01-20 00:00:00", True),
+        ("2024-09-01 00:00:00", False),
+    ]:
         w = F.lit(wm).cast("timestamp")
-        merged = merge_user_states(
-            user_aggregate_state(ev.filter(F.col("ts") <= w)),
-            user_aggregate_state(ev.filter(F.col("ts") > w)),
-        )
+        state = user_aggregate_state(ev.filter(F.col("ts") <= w))
+        delta = user_aggregate_state(ev.filter(F.col("ts") > w))
+        if two_sided:
+            assert state.count() > 0 and delta.count() > 0, wm
+        merged = merge_user_states(state, delta)
         assert _canon(merged) == full, wm
 
 
 def test_merge_is_associative_over_three_slices(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    w1 = F.lit("2024-04-01 00:00:00").cast("timestamp")
-    w2 = F.lit("2024-08-01 00:00:00").cast("timestamp")
+    # inside the January fixture range so all three slices are
+    # non-empty (the old April/August marks left b and c empty)
+    w1 = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    w2 = F.lit("2024-01-20 00:00:00").cast("timestamp")
     a = user_aggregate_state(ev.filter(F.col("ts") <= w1))
     b = user_aggregate_state(ev.filter((F.col("ts") > w1) & (F.col("ts") <= w2)))
     c = user_aggregate_state(ev.filter(F.col("ts") > w2))
+    assert a.count() > 0 and b.count() > 0 and c.count() > 0
     left = merge_user_states(merge_user_states(a, b), c)
     right = merge_user_states(a, merge_user_states(b, c))
     assert _canon(left) == _canon(right) == _canon(user_aggregate_state(ev))
