@@ -361,15 +361,24 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
            round(part_value, 4) AS part_value
     FROM pv
-    WHERE part_value > (SELECT 0.0006 * sum(part_value) FROM pv)
+    WHERE part_value > (SELECT 1.5 * avg(part_value) FROM pv)
     """,
     tags=("agg", "subquery", "analytics"),
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11 shape — parts whose traded value exceeds a fraction of the
-    global total. The scalar subquery is a second aggregate over the
-    same grouped result, reused (not recomputed from the fact) and
-    broadcast back as a one-row cross join."""
+    """Q11 shape — parts whose traded value exceeds a threshold
+    derived from the global aggregate. The scalar subquery is a second
+    aggregate over the same grouped result, reused (not recomputed
+    from the fact) and broadcast back as a one-row cross join.
+
+    The threshold is RELATIVE (1.5 × the average part value, ~1 % of
+    parts at every SF), not TPC-H's fixed fraction of the total: a
+    fixed fraction dilutes as the part count grows — the r10 sf0.1
+    vacuity audit caught the previous 0.0006·total form returning
+    ZERO rows at sf ≥ 0.1, so its sf1/sf10 'passes' were hashing
+    ∅ = ∅ (TPC-H itself scales the Q11 fraction by 1/SF for exactly
+    this reason; with sf_dir opaque to the query, the avg-relative
+    form is the scale-invariant equivalent)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     pv = (
@@ -377,7 +386,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("part_value"))
     )
-    total = pv.agg((0.0006 * F.sum("part_value")).alias("threshold"))
+    total = pv.agg((1.5 * F.avg("part_value")).alias("threshold"))
     return (
         pv.join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))

@@ -62,6 +62,36 @@ def test_no_undeclared_zero_output_operators(spark, sf_dir):
     )
 
 
+def test_all_queries_nonempty_at_sf01():
+    """Anti-DILUTION gate, the inverse of the small-SF thinning the
+    sf0.01 escalation handles: a FIXED absolute threshold over a
+    growing population returns fewer rows as data grows — the r10
+    sf0.1 audit caught `q11_important_parts`' fixed-fraction
+    threshold returning ZERO rows at sf ≥ 0.1 (its sf1/sf10 records
+    had hashed ∅ = ∅) while being comfortably non-empty at the
+    sf0.001/sf0.01 gate scales. Every query must return rows at
+    sf0.1 too, unless tagged may-be-empty. Runs its own session-conf
+    scale (the shared fixture session is fine; only row existence is
+    asserted, via limit(1))."""
+    import os
+
+    from firefly_vcut_spark.session import get_spark
+
+    sf01 = os.environ.get("SPARK_GRAFT_DILUTION_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("vacuity-dilution-gate")
+    empty = []
+    for name, q in all_queries().items():
+        if "may-be-empty" in q.tags:
+            continue
+        if q.fn(spark, sf01).limit(1).count() == 0:
+            empty.append(name)
+    assert not empty, (
+        f"queries empty at sf0.1 — a fixed threshold diluted by data "
+        f"growth (scale it relative to the population) or a predicate "
+        f"outside the fixture range: {empty}"
+    )
+
+
 def test_allowed_zero_entries_still_have_their_zero():
     """The allowlist must not rot: every entry should still be a real
     zero (or be removed once the branch fills). Names must exist."""
