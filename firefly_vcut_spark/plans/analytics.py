@@ -1067,7 +1067,16 @@ def agg_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT an ntile, so there is no global ordering; the audit is one
     QI-keyed aggregate with the nation dim broadcast. Companion to
     corpus_pii_redaction (plans/pipeline_ops.py) on the privacy axis;
-    the reference has no privacy surface (training-data extension)."""
+    the reference has no privacy surface (training-data extension).
+
+    Scale-ledger caveat (r10): the sf1/sf10 tiles copy c_acctbal
+    verbatim, so every QI cell count there is a multiple of the copy
+    count (≥ 10) and k<5 cells CANNOT exist — those ledger hashes are
+    empty-vs-empty by fixture construction (annotated in the sweep
+    files). The violation-surfacing path is oracle-exercised at
+    sf0.001–0.1, where the audit returns 150–14k violation rows.
+    An empty audit on real (untiled) data is the genuine
+    all-clear outcome, so k stays the privacy parameter k=5."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     qi = c.join(
