@@ -26,7 +26,17 @@ _SPOT_SF_DIR = os.environ.get(
 def _assert_nonempty(spark, sf_dir, name, q, rows: int) -> None:
     if rows > 0 or "may-be-empty" in q.tags:
         return
-    spot = q.fn(spark, _SPOT_SF_DIR).count()
+    # escalate to the driver-gate scale — and for SQL-backed queries
+    # re-run the FULL value comparison there, so the non-empty result
+    # is oracle-checked too (the sf0.001 compare above ran ∅ = ∅; a
+    # rows-only count here would leave value parity unproven in-suite,
+    # resting solely on the out-of-band driver gate — r10 ADVICE).
+    if q.sql is not None:
+        spot_res = compare(name, spark, _SPOT_SF_DIR, q.fn, q.sql)
+        assert spot_res.ok, f"{name} (sf0.01 escalation): {spot_res.detail}"
+        spot = spot_res.spark_rows
+    else:
+        spot = q.fn(spark, _SPOT_SF_DIR).count()
     assert spot > 0, (
         f"{name}: 0 rows at {sf_dir} AND at the sf0.01 driver gate — "
         f"a vacuous query hash-passes against a vacuous oracle; fix "

@@ -43,22 +43,43 @@ ALLOWED_ZERO = {
 }
 
 
-def test_no_undeclared_zero_output_operators(spark, sf_dir):
+def audit_registry(
+    spark, sf_dir: str, queries: dict, allowed: dict[str, str]
+) -> tuple[dict[str, list[str]], list[str]]:
+    """Run every query with AQE off and return (offenders, stale):
+    offenders = undeclared zero-output operators; stale = allowlist
+    entries whose branch has FILLED (the exemption is no longer
+    needed and must be removed, or it would mask a future real zero).
+    Restores whatever AQE setting the session had before."""
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         offenders: dict[str, list[str]] = {}
-        for name, q in all_queries().items():
+        stale: list[str] = []
+        for name, q in queries.items():
             df = q.fn(spark, sf_dir)
             df.collect()
             zeros = zero_nodes(df._jdf.queryExecution().executedPlan())
-            if zeros and name not in ALLOWED_ZERO:
+            if zeros and name not in allowed:
                 offenders[name] = zeros
+            if not zeros and name in allowed:
+                stale.append(name)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    return offenders, stale
+
+
+def test_no_undeclared_zero_output_operators(spark, sf_dir):
+    offenders, stale = audit_registry(spark, sf_dir, all_queries(), ALLOWED_ZERO)
     assert not offenders, (
         f"queries with undeclared zero-output operators (a branch that "
         f"never ran on data — fix the predicate/fixture or declare the "
         f"zero with a reason in ALLOWED_ZERO): {offenders}"
+    )
+    assert not stale, (
+        f"ALLOWED_ZERO entries whose branch now produces rows — remove "
+        f"the entry so the exemption cannot mask a future real zero: "
+        f"{stale}"
     )
 
 
@@ -93,8 +114,38 @@ def test_all_queries_nonempty_at_sf01():
 
 
 def test_allowed_zero_entries_still_have_their_zero():
-    """The allowlist must not rot: every entry should still be a real
-    zero (or be removed once the branch fills). Names must exist."""
+    """The allowlist must not rot: every entry must name a registry
+    query (the still-has-its-zero half runs inside the main gate via
+    audit_registry's stale detection, reusing the session and plan
+    walks that gate already pays for)."""
     names = set(all_queries())
     stale = [n for n in ALLOWED_ZERO if n not in names]
     assert not stale, f"ALLOWED_ZERO entries not in the registry: {stale}"
+
+
+def test_filled_branch_trips_the_stale_allowlist_detector(spark, sf_dir):
+    """r10 verdict task 3's 'done' bar: a deliberately-FILLED branch
+    behind an allowlist entry must trip the detector. Uses a synthetic
+    one-query registry (plain non-empty scan — no zero node anywhere)
+    with a fabricated exemption, and the inverse (an all-pruned filter
+    with no exemption) must land in offenders."""
+    from types import SimpleNamespace
+
+    from firefly_vcut_spark.sources.catalog import table_path
+
+    full = SimpleNamespace(
+        fn=lambda s, d: s.read.parquet(table_path(d, "nation")).select("n_nationkey")
+    )
+    empty = SimpleNamespace(
+        fn=lambda s, d: s.read.parquet(table_path(d, "nation")).filter(
+            "n_nationkey < -1"
+        )
+    )
+    offenders, stale = audit_registry(
+        spark,
+        sf_dir,
+        {"synthetic_full": full, "synthetic_empty": empty},
+        {"synthetic_full": "fabricated exemption that must read as rot"},
+    )
+    assert stale == ["synthetic_full"]
+    assert "synthetic_empty" in offenders

@@ -23,6 +23,33 @@ Method — tile-and-offset, the dbgen discipline:
   cosine ~0.81 stays below every near-dup threshold in the engine),
   so IVF/ANN/semdedup see a genuinely 10x point set.
 
+Fixture v2 (r11) — two surgical perturbations so the last two scale
+rows that hashed empty-vs-empty by tiling construction (r10 verdict
+task 1) execute on real rows, while every other marginal stays put:
+
+* ``customer.c_acctbal``: copies i>=1 give ~1/2000 rows (chosen by a
+  portable integer LCG on (custkey, copy)) a +10k..22k balance bump
+  into bands floor(bal/1000) >= 10 that the base data never occupies.
+  This breaks the every-cell-count-is-a-multiple-of-N_COPIES
+  invariant, so the k-anonymity audit's k<5 cells exist at sf >= 1 —
+  as they do on any real (untiled) customer table. All other customer
+  columns, and 99.95% of balances, are tiled verbatim as before.
+* ``documents``: a tiled position whose doc_id lands in the mod-41
+  benchmark-holdout residue (doc_id % 41 == 0) in a copy i>=1 is
+  re-synthesized as a fresh document (every word replaced by a
+  reversed vocab word, deterministically keyed on (copy, text))
+  instead of a near-copy of a corpus member. Rationale: 5000 % 41 =
+  39, so under plain tiling the holdout residue rotates through every
+  base doc within 41 copies and the 4-gram decontamination stage
+  correctly flags the ENTIRE remaining corpus at 100 copies — a
+  benchmark that is a near-copy of the whole corpus is a fixture
+  artifact, not a production shape. Re-synthesis keeps ids, lengths
+  and word-count marginals, leaves 97.6% of tiled docs byte-identical
+  to fixture v1, and keeps copy 0 pristine; reversed words share no
+  4-grams with real text, so only genuine contamination (copies of
+  the copy-0 holdout docs, plus natural cross-doc gram overlap) is
+  flagged and the manifest stays non-empty at every copy count.
+
 Deterministic (fixed seeds). Output: ``.localdata/sf1/*.parquet``
 (gitignored). Usage: python tools/gen_sf1.py [n_copies]
 """
@@ -68,10 +95,21 @@ def tile_relational(con: duckdb.DuckDBPyConnection) -> None:
     con.execute(f"COPY (SELECT * FROM '{SRC}/region.parquet') TO '{DST}/region.parquet' (FORMAT PARQUET)")
     con.execute(f"COPY (SELECT * FROM '{SRC}/nation.parquet') TO '{DST}/nation.parquet' (FORMAT PARQUET)")
     tiles = f"(SELECT CAST(range AS BIGINT) AS i FROM range({N_COPIES}))"
+    # fixture v2: rare deterministic balance outliers on copies i>=1
+    # (LCG on (custkey, copy); ~1/2003 of tiled rows) land in bands
+    # >= 10 that the base never occupies, so k<5 QI cells exist at
+    # sf >= 1. Portable integer arithmetic — no engine hash().
+    jitter = (
+        f"(CAST(c_custkey AS BIGINT) * 2654435761 + i * 40503) % 1048573"
+    )
     con.execute(
         f"""COPY (SELECT c_custkey + i*{OFF['customer']} AS c_custkey,
                     printf('Customer#%09d', c_custkey + i*{OFF['customer']}) AS c_name,
-                    c_nationkey, c_acctbal, c_mktsegment
+                    c_nationkey,
+                    c_acctbal + CASE WHEN i > 0 AND ({jitter}) % 2003 = 7
+                                     THEN CAST(10000 + ({jitter}) % 12000 AS DOUBLE)
+                                     ELSE 0.0 END AS c_acctbal,
+                    c_mktsegment
              FROM '{SRC}/customer.parquet', {tiles} ORDER BY c_custkey)
            TO '{DST}/customer.parquet' (FORMAT PARQUET)"""
     )
@@ -131,6 +169,23 @@ def mutate_text(text: str, copy_i: int, vocab: list[str]) -> str:
     return " ".join(words)
 
 
+def scramble_text(text: str, copy_i: int, vocab: list[str]) -> str:
+    """Fixture-v2 holdout re-synthesis: every word becomes a REVERSED
+    vocab word (deterministic on (copy, text), like mutate_text, so
+    within-copy exact-dup groups survive). Reversed words are not in
+    the corpus vocabulary (modulo palindromes), so a re-synthesized
+    benchmark doc shares no 4-grams with real corpus text — the
+    decontamination stage flags only genuine contamination."""
+    seed = int.from_bytes(
+        hashlib.md5(f"holdout:{copy_i}:{text}".encode()).digest()[:8], "big"
+    )
+    rng = random.Random(seed)
+    words = text.split(" ")
+    return " ".join(
+        vocab[rng.randrange(len(vocab))][::-1] for _ in words
+    )
+
+
 def tile_documents(con: duckdb.DuckDBPyConnection) -> None:
     rows = con.execute(
         f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet' ORDER BY doc_id"
@@ -141,7 +196,11 @@ def tile_documents(con: duckdb.DuckDBPyConnection) -> None:
     ids, texts, langs, sources, n_chars = [], [], [], [], []
     for i in range(N_COPIES):
         for doc_id, text, lang, source in rows:
-            t = mutate_text(text, i, vocab)
+            tiled_id = doc_id + i * OFF["documents"]
+            if i > 0 and tiled_id % 41 == 0:
+                t = scramble_text(text, i, vocab)
+            else:
+                t = mutate_text(text, i, vocab)
             ids.append(doc_id + i * OFF["documents"])
             texts.append(t)
             langs.append(lang)

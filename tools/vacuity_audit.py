@@ -33,8 +33,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# plan nodes whose zero-output is structural bookkeeping, not a data path
-_IGNORE = {"InputAdapter", "ColumnarToRow", "WholeStageCodegen"}
+# plan nodes whose zero-output is structural bookkeeping, not a data
+# path. Matched by PREFIX: Spark names codegen nodes
+# "WholeStageCodegen (N)", so exact matching could silently stop
+# covering them if a Spark version adds numOutputRows there (r10
+# ADVICE finding — today those nodes carry no such metric, but the
+# guard should not depend on that).
+_IGNORE = ("InputAdapter", "ColumnarToRow", "WholeStageCodegen")
 
 
 def zero_nodes(plan) -> list[str]:
@@ -47,7 +52,7 @@ def zero_nodes(plan) -> list[str]:
     def walk(node, path: str) -> None:
         name = node.nodeName().strip()
         m = node.metrics()
-        if m.contains("numOutputRows") and name not in _IGNORE:
+        if m.contains("numOutputRows") and not name.startswith(_IGNORE):
             if m.apply("numOutputRows").value() == 0:
                 out.append(f"{path}{name}")
                 return  # downstream of this node is vacuously empty
