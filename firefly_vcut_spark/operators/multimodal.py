@@ -1409,9 +1409,10 @@ def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, in
     """Real decode: sniff the container by magic bytes and recover
     actual pixels → (width, height, channels, pixel bytes — rows
     top-down). BMP/PPM/PNG/JPEG (baseline incl. multi-scan and
-    restarts, progressive)/GIF/TIFF and WebP-LOSSLESS (VP8L,
-    operators/webp.py) decode with stdlib + numpy alone; the
-    remaining codec-class boundary is lossy WebP (VP8) and inter-coded
+    restarts, progressive)/GIF/TIFF, WebP-LOSSLESS (VP8L,
+    operators/webp.py) and WebP-LOSSY (VP8 keyframes, operators/vp8.py)
+    decode with stdlib + numpy alone; the remaining codec-class
+    boundary is extended WebP (VP8X alpha/animation) and inter-coded
     video, which raise NotImplementedError — the declared swap-in
     point for a PIL/ffmpeg kernel."""
     if blob[:8] == _PNG_SIG:
@@ -1428,8 +1429,14 @@ def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, in
         return _decode_tiff(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         # lossless (VP8L) decodes natively (operators/webp.py, r8);
-        # lossy VP8 / extended VP8X raise inside decode_vp8l — the
-        # narrowed remaining codec boundary
+        # lossy stills (VP8 keyframes) decode natively too
+        # (operators/vp8.py, r11, pixel-exact vs libwebp at the YUV
+        # level); only extended VP8X (alpha/animation) still raises —
+        # the narrowed remaining codec boundary
+        if blob[12:16] == b"VP8 ":
+            from firefly_vcut_spark.operators.vp8 import decode_webp_lossy
+
+            return decode_webp_lossy(blob)
         from firefly_vcut_spark.operators.webp import decode_vp8l
 
         return decode_vp8l(blob)

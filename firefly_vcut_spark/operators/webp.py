@@ -1,8 +1,10 @@
 """WebP-lossless (VP8L) codec — pure stdlib, no image library.
 
 Closes the last declared codec guard in ``multimodal.decode_image_real``
-(r7 verdict item 8): WebP's LOSSLESS bitstream decodes for real; the
-remaining boundary narrows to VP8 lossy and animation.
+(r7 verdict item 8): WebP's LOSSLESS bitstream decodes for real. Since
+r11 the lossy (VP8 keyframe) path decodes for real too — see
+``operators/vp8.py`` — so the remaining boundary narrows to extended
+WebP (VP8X alpha/animation).
 
 Decoder scope (WebP Lossless Bitstream Specification):
 - LSB-first bit reader over the RIFF/VP8L payload;
@@ -520,11 +522,17 @@ def decode_vp8l(blob: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"VP8L":
             payload = blob[pos + 8 : pos + 8 + size]
             break
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag == b"VP8 ":
+            # lossy stills decode natively since r11 — route there so
+            # direct decode_vp8l callers keep working on mixed inputs
+            from firefly_vcut_spark.operators.vp8 import decode_webp_lossy
+
+            return decode_webp_lossy(blob)
+        if tag == b"VP8X":
             raise NotImplementedError(
-                "WebP lossy/extended (VP8 entropy coding) needs an image "
-                "codec not present in this environment — lossless VP8L "
-                "decodes natively"
+                "WebP extended (VP8X: alpha / animation) is the remaining "
+                "codec boundary — plain lossless (VP8L) and lossy (VP8 "
+                "keyframe) streams decode natively"
             )
         pos += 8 + size + (size & 1)
     if payload is None:

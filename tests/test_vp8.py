@@ -1,0 +1,281 @@
+"""VP8 keyframe decoder correctness (operators/vp8.py).
+
+Three independent proof layers:
+
+1. HERMETIC encoder parity: committed real libwebp-encoded lossy WebP
+   fixtures (tests/data/vp8/) must decode to the EXACT Y/U/V planes
+   libwebp's own decoder produced (md5s in the manifest, recorded at
+   fixture-generation time by tools/gen_vp8_fixtures.py).  No codec
+   library is needed at test time.
+2. LIVE randomized parity versus the system libwebp via ctypes
+   (skipped when the library is absent): fresh images, fresh
+   qualities, pixel-exact on all three planes.
+3. SPEC-LEVEL units: an independently-implemented RFC 6386 boolean
+   ENCODER round-trips random (prob, bit) sequences through the
+   decoder's arithmetic; transform and predictor invariants are
+   checked against hand math.
+
+The fixture ladder covers: loop-filter levels 0..63 (q5 vs q99),
+segmentation on/off, 16x16 DC/V/H/TM and B_PRED with the full 4x4
+mode palette, odd (crop-path) dimensions, and multi-macroblock
+context propagation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pytest
+
+from firefly_vcut_spark.operators.vp8 import (
+    BoolDecoder,
+    decode_frame,
+    decode_webp_vp8,
+    idct4x4,
+    iwht4x4,
+    _pred_b,
+    B_DC,
+    B_TM,
+)
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data", "vp8")
+
+
+def _load_manifest():
+    with open(os.path.join(DATA_DIR, "manifest.json")) as f:
+        return json.load(f)
+
+
+# ----------------------------------------------------- hermetic parity
+
+
+@pytest.mark.parametrize("name", sorted(_load_manifest()))
+def test_fixture_decodes_pixel_exact(name):
+    m = _load_manifest()[name]
+    with open(os.path.join(DATA_DIR, name + ".webp"), "rb") as f:
+        blob = f.read()
+    frame = decode_webp_vp8(blob)
+    assert (frame.width, frame.height) == (m["width"], m["height"])
+    assert hashlib.md5(frame.y).hexdigest() == m["md5_y"], f"{name}: luma"
+    assert hashlib.md5(frame.u).hexdigest() == m["md5_u"], f"{name}: U"
+    assert hashlib.md5(frame.v).hexdigest() == m["md5_v"], f"{name}: V"
+
+
+def test_plane_sizes_crop_to_display_dims():
+    m = _load_manifest()["grad_33x17_q75"]
+    with open(os.path.join(DATA_DIR, "grad_33x17_q75.webp"), "rb") as f:
+        frame = decode_webp_vp8(f.read())
+    assert (frame.width, frame.height) == (33, 17)
+    assert len(frame.y) == 33 * 17
+    assert len(frame.u) == len(frame.v) == 17 * 9  # ceil halves
+
+
+# ------------------------------------------------- live libwebp parity
+
+
+def _libwebp():
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="system libwebp not present")
+def test_randomized_live_parity_with_libwebp():
+    import ctypes
+
+    lib = _libwebp()
+    rng = np.random.default_rng(20260816)
+    for trial in range(12):
+        w = int(rng.integers(4, 130))
+        h = int(rng.integers(4, 100))
+        q = float(rng.choice([5, 30, 60, 75, 90, 99]))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 5 + yy * 3) % 256, (xx * 2 + 100) % 256, (yy * 7) % 256], -1
+        ).astype(np.uint8)
+        if trial % 2:
+            r0, r1 = h // 4, max(h // 4 + 1, h // 2)
+            c0, c1 = w // 4, max(w // 4 + 1, w // 2)
+            img[r0:r1, c0:c1] = rng.integers(0, 256, (r1 - r0, c1 - c0, 3))
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeRGB(img.tobytes(), w, h, w * 3, q, ctypes.byref(out))
+        assert n > 0
+        blob = bytes(bytearray(out[i] for i in range(n)))
+        lib.WebPFree(out)
+
+        wi = ctypes.c_int(); hi = ctypes.c_int()
+        up = ctypes.POINTER(ctypes.c_uint8)()
+        vp = ctypes.POINTER(ctypes.c_uint8)()
+        stride = ctypes.c_int(); uvstride = ctypes.c_int()
+        yptr = lib.WebPDecodeYUV(
+            blob, len(blob), ctypes.byref(wi), ctypes.byref(hi),
+            ctypes.byref(up), ctypes.byref(vp),
+            ctypes.byref(stride), ctypes.byref(uvstride))
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        Yr = np.ctypeslib.as_array(yptr, (h, stride.value))[:, :w].copy()
+        Ur = np.ctypeslib.as_array(up, (ch, uvstride.value))[:, :cw].copy()
+        Vr = np.ctypeslib.as_array(vp, (ch, uvstride.value))[:, :cw].copy()
+        lib.WebPFree(yptr)
+
+        frame = decode_webp_vp8(blob)
+        Y = np.frombuffer(frame.y, np.uint8).reshape(h, w)
+        U = np.frombuffer(frame.u, np.uint8).reshape(ch, cw)
+        V = np.frombuffer(frame.v, np.uint8).reshape(ch, cw)
+        assert np.array_equal(Y, Yr), f"trial {trial} ({w}x{h} q{q}): luma"
+        assert np.array_equal(U, Ur), f"trial {trial}: U"
+        assert np.array_equal(V, Vr), f"trial {trial}: V"
+
+
+# ------------------------------------------------------ spec-level units
+
+
+class _BoolEncoder:
+    """Independent RFC 6386 section 8 boolean encoder (carry-propagating
+    lowvalue formulation) — exists only to pin the decoder's arithmetic
+    without an external codec."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 255
+        self.count = -24
+        self.buf = bytearray()
+
+    def bit(self, prob: int, b: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if b:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        shift = 0
+        r = self.range
+        while r < 128:
+            r <<= 1
+            shift += 1
+        self.range = r
+        self.count += shift
+        if self.count >= 0:
+            offset = shift - self.count
+            if offset >= 1 and (self.low << (offset - 1)) & 0x80000000:
+                x = len(self.buf) - 1
+                while x >= 0 and self.buf[x] == 0xFF:
+                    self.buf[x] = 0
+                    x -= 1
+                if x >= 0:
+                    self.buf[x] += 1
+            self.buf.append((self.low >> (24 - offset)) & 0xFF)
+            self.low = (self.low << offset) & 0xFFFFFF
+            shift = self.count
+            self.count -= 8
+        self.low = (self.low << shift) & 0xFFFFFFFF
+
+    def stop(self) -> bytes:
+        for _ in range(32):
+            self.bit(128, 0)
+        return bytes(self.buf)
+
+
+def test_bool_coder_roundtrip_random_sequences():
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        n = int(rng.integers(1, 400))
+        probs = rng.integers(1, 255, n).tolist()
+        bits = rng.integers(0, 2, n).tolist()
+        enc = _BoolEncoder()
+        for p, b in zip(probs, bits):
+            enc.bit(int(p), int(b))
+        data = enc.stop()
+        dec = BoolDecoder(data)
+        got = [dec.bit(int(p)) for p in probs]
+        assert got == bits, f"trial {trial}: bool coder mismatch"
+
+
+def test_bool_coder_extreme_probabilities():
+    enc = _BoolEncoder()
+    seq = [(1, 1), (254, 0), (1, 0), (254, 1), (128, 1), (1, 1), (254, 0)]
+    for p, b in seq:
+        enc.bit(p, b)
+    data = enc.stop()
+    dec = BoolDecoder(data)
+    assert [dec.bit(p) for p, _ in seq] == [b for _, b in seq]
+
+
+def test_idct_dc_only_is_flat_rounded():
+    # pure DC: every output = (dc + 4) >> 3
+    for dc in (-1000, -31, -8, 0, 5, 77, 997):
+        out = idct4x4([dc] + [0] * 15)
+        assert out == [(dc + 4) >> 3] * 16
+
+
+def test_iwht_dc_only_distributes_evenly():
+    out = iwht4x4([64] + [0] * 15)
+    # two-pass Walsh of a constant: (64*2 [col pass] * ... ) -> all equal
+    assert len(set(out)) == 1
+
+
+def test_pred_b_dc_is_neighbor_average():
+    above8 = [10, 20, 30, 40, 99, 99, 99, 99]
+    left4 = [50, 60, 70, 80]
+    got = _pred_b(B_DC, above8, left4, 0)
+    expect = (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80 + 4) >> 3
+    assert all(v == expect for row in got for v in row)
+
+
+def test_pred_b_tm_clamps():
+    got = _pred_b(B_TM, [255] * 8, [255] * 4, 0)
+    assert all(v == 255 for row in got for v in row)
+    got = _pred_b(B_TM, [0] * 8, [0] * 4, 255)
+    assert all(v == 0 for row in got for v in row)
+
+
+def test_inter_frame_raises_declared_boundary():
+    # frame tag with the interframe bit set
+    data = bytes([0x01, 0x00, 0x00]) + b"\x9d\x01\x2a" + bytes(10)
+    with pytest.raises(NotImplementedError):
+        decode_frame(data)
+
+
+def test_bad_start_code_rejected():
+    data = bytes([0x00, 0x00, 0x00]) + b"\x00\x01\x2a" + bytes(10)
+    with pytest.raises(ValueError):
+        decode_frame(data)
+
+
+def test_decode_image_real_routes_lossy_webp():
+    from firefly_vcut_spark.operators.multimodal import decode_image_real
+
+    with open(os.path.join(DATA_DIR, "mix_80x48_q75.webp"), "rb") as f:
+        blob = f.read()
+    w, h, channels, px = decode_image_real(blob)
+    assert (w, h, channels) == (80, 48, 3)
+    assert len(px) == 80 * 48 * 3
+    # luma of the RGB must correlate with the decoded Y plane: spot-check
+    # a flat fixture where the answer is known exactly
+    with open(os.path.join(DATA_DIR, "flat_16x16_q75.webp"), "rb") as f:
+        w, h, channels, px = decode_image_real(f.read())
+    arr = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+    # source was flat (90, 140, 200); lossy roundtrip stays within a
+    # loose tolerance after YUV 4:2:0 + quantization
+    assert abs(arr[..., 0].mean() - 90) < 12
+    assert abs(arr[..., 1].mean() - 140) < 12
+    assert abs(arr[..., 2].mean() - 200) < 12

@@ -74,11 +74,18 @@ def test_distance_map_spec_head():
     assert len(set(_DIST_MAP)) == 120
 
 
-def test_lossy_vp8_raises_declared_boundary():
+def test_extended_vp8x_raises_declared_boundary():
+    """Lossy VP8 stills decode natively since r11 (operators/vp8.py);
+    the declared boundary narrows to extended VP8X."""
     payload = b"\x00" * 10
-    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
     blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     with pytest.raises(NotImplementedError):
+        decode_vp8l(blob)
+    # a junk lossy chunk routes to the real decoder and is malformed
+    chunk = b"VP8 " + struct.pack("<I", 10) + b"\x00" * 10
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError):
         decode_vp8l(blob)
 
 

@@ -1,0 +1,141 @@
+"""Generate the committed VP8-lossy parity fixtures in tests/data/vp8/.
+
+Each fixture is a REAL encoder-produced lossy WebP (system libwebp via
+ctypes) plus the md5 of the Y/U/V planes that libwebp's own decoder
+produces for it.  The committed pair makes tests/test_vp8.py hermetic:
+the pure-Python decoder must reproduce the reference decode
+pixel-exactly with no codec library present at test time.
+
+The images are deterministic (mgrid gradients + seeded noise), and the
+quality ladder is chosen to cover the decoder's branches: q5/q40/q75
+carry loop-filter levels up to 63 and segmentation, q99 is
+filter-level-0, odd dimensions exercise plane cropping, and the
+mixed-content images force B_PRED with the full 4x4 mode palette
+alongside 16x16 DC/V/H/TM macroblocks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "tests", "data", "vp8")
+
+
+def load_libwebp():
+    lib = ctypes.CDLL("libwebp.so.7")
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+def encode(lib, img: np.ndarray, quality: float) -> bytes:
+    h, w, _ = img.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGB(img.tobytes(), w, h, w * 3, quality, ctypes.byref(out))
+    assert n > 0, "encode failed"
+    blob = bytes(bytearray(out[i] for i in range(n)))
+    lib.WebPFree(out)
+    return blob
+
+
+def ref_decode(lib, blob: bytes):
+    wi = ctypes.c_int()
+    hi = ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uvstride = ctypes.c_int()
+    yptr = lib.WebPDecodeYUV(blob, len(blob), ctypes.byref(wi), ctypes.byref(hi),
+                             ctypes.byref(up), ctypes.byref(vp),
+                             ctypes.byref(stride), ctypes.byref(uvstride))
+    assert yptr, "reference decode failed"
+    w, h = wi.value, hi.value
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    Y = np.ctypeslib.as_array(yptr, (h, stride.value))[:, :w].copy()
+    U = np.ctypeslib.as_array(up, (ch, uvstride.value))[:, :cw].copy()
+    V = np.ctypeslib.as_array(vp, (ch, uvstride.value))[:, :cw].copy()
+    lib.WebPFree(yptr)
+    return Y, U, V
+
+
+def make_image(kind: str, w: int, h: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    if kind == "flat":
+        return np.full((h, w, 3), (90, 140, 200), np.uint8)
+    if kind == "grad":
+        return np.stack(
+            [(xx * 5 + yy * 3) % 256, (xx * 2 + 100) % 256, (yy * 7) % 256], -1
+        ).astype(np.uint8)
+    if kind == "noise":
+        return rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    if kind == "mix":
+        img = np.stack(
+            [(xx * 5 + yy * 3) % 256, (xx * 2 + 100) % 256, (yy * 7) % 256], -1
+        ).astype(np.uint8)
+        r0, r1, c0, c1 = h // 4, h // 2, w // 4, w // 2
+        img[r0:r1, c0:c1] = rng.integers(0, 256, (r1 - r0, c1 - c0, 3))
+        return img
+    raise ValueError(kind)
+
+
+FIXTURES = [
+    # (name, kind, w, h, quality, seed)
+    ("flat_16x16_q75", "flat", 16, 16, 75.0, 0),
+    ("grad_48x32_q75", "grad", 48, 32, 75.0, 0),
+    ("grad_48x32_q5", "grad", 48, 32, 5.0, 0),   # max loop-filter level
+    ("noise_32x32_q40", "noise", 32, 32, 40.0, 7),
+    ("noise_32x32_q99", "noise", 32, 32, 99.0, 7),  # filter level 0
+    ("mix_80x48_q75", "mix", 80, 48, 75.0, 3),   # B_PRED full mode palette
+    ("mix_80x48_q99", "mix", 80, 48, 99.0, 3),
+    ("grad_33x17_q75", "grad", 33, 17, 75.0, 0),  # odd dims, crop path
+    ("grad_128x96_q60", "grad", 128, 96, 60.0, 0),
+]
+
+
+def main() -> None:
+    lib = load_libwebp()
+    os.makedirs(OUT_DIR, exist_ok=True)
+    manifest = {}
+    for name, kind, w, h, q, seed in FIXTURES:
+        img = make_image(kind, w, h, seed)
+        blob = encode(lib, img, q)
+        Y, U, V = ref_decode(lib, blob)
+        path = os.path.join(OUT_DIR, name + ".webp")
+        with open(path, "wb") as f:
+            f.write(blob)
+        manifest[name] = {
+            "width": int(w),
+            "height": int(h),
+            "quality": q,
+            "bytes": len(blob),
+            "md5_y": hashlib.md5(Y.tobytes()).hexdigest(),
+            "md5_u": hashlib.md5(U.tobytes()).hexdigest(),
+            "md5_v": hashlib.md5(V.tobytes()).hexdigest(),
+        }
+        print(f"{name}: {len(blob)} bytes", file=sys.stderr)
+    with open(os.path.join(OUT_DIR, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    print(f"wrote {len(manifest)} fixtures to {OUT_DIR}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
