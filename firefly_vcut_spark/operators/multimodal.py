@@ -1410,11 +1410,12 @@ def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, in
     actual pixels → (width, height, channels, pixel bytes — rows
     top-down). BMP/PPM/PNG/JPEG (baseline incl. multi-scan and
     restarts, progressive)/GIF/TIFF, WebP-LOSSLESS (VP8L,
-    operators/webp.py) and WebP-LOSSY (VP8 keyframes, operators/vp8.py)
-    decode with stdlib + numpy alone; the remaining codec-class
-    boundary is extended WebP (VP8X alpha/animation) and inter-coded
-    video, which raise NotImplementedError — the declared swap-in
-    point for a PIL/ffmpeg kernel."""
+    operators/webp.py), WebP-LOSSY (VP8 keyframes, operators/vp8.py)
+    and extended WebP stills (VP8X + ALPH alpha) decode with stdlib +
+    numpy alone; the remaining codec-class boundary is animated WebP
+    (ANIM/ANMF) and inter-coded video, which raise
+    NotImplementedError — the declared swap-in point for a PIL/ffmpeg
+    kernel."""
     if blob[:8] == _PNG_SIG:
         return _decode_png(blob)
     if blob[:2] == b"BM":
@@ -1431,12 +1432,17 @@ def decode_image_real(blob: bytes, fmt: str | None = None) -> tuple[int, int, in
         # lossless (VP8L) decodes natively (operators/webp.py, r8);
         # lossy stills (VP8 keyframes) decode natively too
         # (operators/vp8.py, r11, pixel-exact vs libwebp at the YUV
-        # level); only extended VP8X (alpha/animation) still raises —
-        # the narrowed remaining codec boundary
+        # level), as do extended VP8X stills (ALPH alpha plane,
+        # byte-exact vs libwebp); only animation (ANIM/ANMF) still
+        # raises — the narrowed remaining codec boundary
         if blob[12:16] == b"VP8 ":
             from firefly_vcut_spark.operators.vp8 import decode_webp_lossy
 
             return decode_webp_lossy(blob)
+        if blob[12:16] == b"VP8X":
+            from firefly_vcut_spark.operators.vp8 import decode_webp_extended
+
+            return decode_webp_extended(blob)
         from firefly_vcut_spark.operators.webp import decode_vp8l
 
         return decode_vp8l(blob)

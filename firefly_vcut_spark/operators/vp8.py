@@ -16,9 +16,13 @@ parity suite (tests/test_vp8.py) decodes libwebp-ENCODED streams and
 requires our Y/U/V planes to equal libwebp's own decode PIXEL-EXACTLY.
 A single wrong probability byte, filter tap, or border pixel fails it.
 
-The remaining codec boundary after this module: VP8 inter frames
-(animation / video — WebP stills never use them) and the VP8X alpha
-chunk's filtered-alpha modes.
+The extended container (VP8X) still path decodes too:
+``decode_webp_extended`` handles the ALPH alpha plane (raw or
+headerless-VP8L-compressed, all four prediction filters — see
+``webp.decode_alpha_plane``) over a VP8 keyframe or a VP8L chunk,
+validated byte-exactly against libwebp's RGBA decode including a
+real-world in-the-wild file. The remaining boundary: animated WebP
+(ANIM/ANMF) and VP8 inter frames generally.
 
 Reference analog: none (the reference pipeline has no image path;
 SURVEY §2 extensions). Spec: RFC 6386 sections 7-15.
@@ -1064,3 +1068,59 @@ def decode_webp_lossy(blob: bytes) -> tuple[int, int, int, bytes]:
     """decode_image_real-shaped entry: lossy WebP -> (w, h, 3, RGB)."""
     frame = decode_webp_vp8(blob)
     return frame.width, frame.height, 3, yuv420_to_rgb(frame)
+
+
+def decode_webp_extended(blob: bytes) -> tuple[int, int, int, bytes]:
+    """VP8X still image -> (w, h, 4, RGBA bytes).
+
+    Handles the extended container's alpha path: an ALPH chunk
+    (raw or headerless-VP8L-compressed, filtered — decoded by
+    webp.decode_alpha_plane) over a lossy VP8 keyframe, or a VP8L
+    chunk carrying its own alpha. Animation (ANIM/ANMF) remains the
+    declared boundary. Alpha bytes are validated byte-exactly against
+    libwebp's RGBA decode in tests/test_vp8.py."""
+    from firefly_vcut_spark.operators.webp import decode_alpha_plane, decode_vp8l
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    pos = 12
+    alpha_chunk = None
+    vp8_chunk = None
+    vp8l = False
+    flags = None
+    while pos + 8 <= len(blob):
+        tag = blob[pos:pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8:pos + 8 + size]
+        if tag == b"VP8X":
+            flags = body[0]
+            if flags & 0x02:
+                raise NotImplementedError(
+                    "animated WebP (ANIM/ANMF) is the remaining container "
+                    "boundary; stills decode natively"
+                )
+        elif tag == b"ALPH":
+            alpha_chunk = body
+        elif tag == b"VP8 ":
+            vp8_chunk = body
+        elif tag == b"VP8L":
+            vp8_chunk = body
+            vp8l = True
+        pos += 8 + size + (size & 1)
+    if vp8_chunk is None:
+        raise ValueError("WebP: VP8X container without image chunk")
+    if vp8l:
+        # lossless carries its own alpha; ALPH must not also be present
+        return decode_vp8l(blob[:12] + b"VP8L" + struct.pack("<I", len(vp8_chunk)) + vp8_chunk)
+    frame = decode_frame(vp8_chunk)
+    rgb = yuv420_to_rgb(frame)
+    w, h = frame.width, frame.height
+    if alpha_chunk is not None:
+        alpha = decode_alpha_plane(alpha_chunk, w, h)
+    else:
+        alpha = b"\xff" * (w * h)
+    out = bytearray(w * h * 4)
+    for i in range(w * h):
+        out[4 * i:4 * i + 3] = rgb[3 * i:3 * i + 3]
+        out[4 * i + 3] = alpha[i]
+    return w, h, 4, bytes(out)

@@ -529,11 +529,11 @@ def decode_vp8l(blob: bytes) -> tuple[int, int, int, bytes]:
 
             return decode_webp_lossy(blob)
         if tag == b"VP8X":
-            raise NotImplementedError(
-                "WebP extended (VP8X: alpha / animation) is the remaining "
-                "codec boundary — plain lossless (VP8L) and lossy (VP8 "
-                "keyframe) streams decode natively"
-            )
+            # extended stills (alpha over lossy/lossless) decode
+            # natively since r11; animation raises inside
+            from firefly_vcut_spark.operators.vp8 import decode_webp_extended
+
+            return decode_webp_extended(blob)
         pos += 8 + size + (size & 1)
     if payload is None:
         raise ValueError("WebP: no VP8L chunk")
@@ -545,7 +545,18 @@ def decode_vp8l(blob: bytes) -> tuple[int, int, int, bytes]:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("VP8L: unknown version")
+    pixels = _decode_vp8l_body(br, w, h)
+    rgba = bytearray()
+    for p in pixels:
+        rgba += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, p >> 24))
+    return w, h, 4, bytes(rgba)
 
+
+def _decode_vp8l_body(br: BitReader, w: int, h: int) -> list[int]:
+    """Transform list + entropy-coded image for a VP8L stream whose
+    signature/dimension header has already been consumed (the shared
+    core of the VP8L chunk and the headerless ALPH alpha stream, whose
+    dimensions come from the enclosing frame)."""
     transforms: list[tuple] = []
     img_w = w
     while br.read_bit():
@@ -592,10 +603,55 @@ def decode_vp8l(blob: bytes) -> tuple[int, int, int, bytes]:
 
     pixels = _decode_entropy_image(br, img_w, h, True)
     pixels, _ = _apply_inverse_transforms(pixels, w, h, transforms)
-    rgba = bytearray()
-    for p in pixels:
-        rgba += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, p >> 24))
-    return w, h, 4, bytes(rgba)
+    return pixels
+
+
+def decode_alpha_plane(data: bytes, w: int, h: int) -> bytes:
+    """WebP ALPH chunk payload -> w*h alpha bytes (row-major).
+
+    Header byte: bits 0-1 compression (0 raw, 1 headerless VP8L whose
+    green channel carries the alpha), bits 2-3 the per-row prediction
+    filter (0 none, 1 horizontal, 2 vertical, 3 gradient), bits 4-5
+    pre-processing (encoder-side level reduction; nothing to invert).
+    Validated byte-exactly against libwebp's decoded alpha channel in
+    tests/test_vp8.py."""
+    if not data:
+        raise ValueError("ALPH: empty chunk")
+    head = data[0]
+    compression = head & 3
+    filt = (head >> 2) & 3
+    if compression == 0:
+        plane = bytearray(data[1:1 + w * h])
+        if len(plane) != w * h:
+            raise ValueError("ALPH: truncated raw alpha")
+    elif compression == 1:
+        br = BitReader(data, 1)
+        pixels = _decode_vp8l_body(br, w, h)
+        plane = bytearray((p >> 8) & 0xFF for p in pixels)
+    else:
+        raise ValueError(f"ALPH: bad compression {compression}")
+    if filt == 0:
+        return bytes(plane)
+    out = bytearray(w * h)
+    for r in range(h):
+        row = r * w
+        prev = row - w
+        if r == 0 or filt == 1:  # horizontal (rows 0 of all filters too)
+            pred = 0 if r == 0 else out[prev]
+            for c in range(w):
+                pred = out[row + c] = (pred + plane[row + c]) & 0xFF
+        elif filt == 2:  # vertical
+            for c in range(w):
+                out[row + c] = (out[prev + c] + plane[row + c]) & 0xFF
+        else:  # gradient
+            left = tl = out[prev]
+            for c in range(w):
+                top = out[prev + c]
+                g = left + top - tl
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = out[row + c] = (g + plane[row + c]) & 0xFF
+                tl = top
+    return bytes(out)
 
 
 # ------------------------------------------------------------- encoder

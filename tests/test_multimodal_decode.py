@@ -126,11 +126,13 @@ def test_codec_formats_still_guarded():
     """The codec boundary after the r5 progressive-JPEG decoder: WebP
     and arithmetic-coded JPEG raise NotImplementedError; a progressive
     stream with no scan data and junk stay ValueError."""
-    # lossy VP8 stills decode natively since r11; the WebP boundary
-    # narrows to extended VP8X (alpha/animation)
+    # lossy VP8 and extended-alpha stills decode natively since r11;
+    # the WebP boundary narrows to animation (VP8X ANIM flag)
+    anim_vp8x = b"\x02" + b"\x00" * 9
     with pytest.raises(NotImplementedError):
         decode_image_real(
-            b"RIFF\x00\x00\x00\x00WEBPVP8X" + b"\x00" * 8
+            b"RIFF\x00\x00\x00\x00WEBPVP8X"
+            + len(anim_vp8x).to_bytes(4, "little") + anim_vp8x
         )
     # a junk lossy payload is malformed, not out-of-scope
     with pytest.raises(ValueError):

@@ -279,3 +279,168 @@ def test_decode_image_real_routes_lossy_webp():
     assert abs(arr[..., 0].mean() - 90) < 12
     assert abs(arr[..., 1].mean() - 140) < 12
     assert abs(arr[..., 2].mean() - 200) < 12
+
+
+# --------------------------------------------- VP8X extended stills
+
+
+def test_alpha_fixtures_decode_exact():
+    """VP8X + ALPH fixtures: alpha byte-exact vs libwebp's RGBA decode
+    (manifest md5), color frame plane-exact vs libwebp's YUV decode.
+    The two fixtures cover both ALPH compression modes (headerless
+    VP8L for the smooth alpha, raw for the noise alpha)."""
+    from firefly_vcut_spark.operators.vp8 import decode_webp_extended
+
+    man = _load_manifest()
+    names = [n for n in man if "md5_alpha" in man[n]]
+    assert len(names) >= 2
+    for name in names:
+        m = man[name]
+        with open(os.path.join(DATA_DIR, name + ".webp"), "rb") as f:
+            blob = f.read()
+        w, h, channels, px = decode_webp_extended(blob)
+        assert (w, h, channels) == (m["width"], m["height"], 4)
+        arr = np.frombuffer(px, np.uint8).reshape(h, w, 4)
+        alpha = np.ascontiguousarray(arr[..., 3]).tobytes()
+        assert hashlib.md5(alpha).hexdigest() == m["md5_alpha"], name
+        # color part: plane-exact against libwebp's YUV decode
+        import struct as S
+
+        pos = 12
+        vp8c = None
+        while pos + 8 <= len(blob):
+            tag = blob[pos:pos + 4]
+            size = S.unpack_from("<I", blob, pos + 4)[0]
+            if tag == b"VP8 ":
+                vp8c = blob[pos + 8:pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        frame = decode_frame(vp8c)
+        assert hashlib.md5(frame.y).hexdigest() == m["md5_y"], name
+        assert hashlib.md5(frame.u).hexdigest() == m["md5_u"], name
+        assert hashlib.md5(frame.v).hexdigest() == m["md5_v"], name
+
+
+def _assemble_webp(chunks):
+    import struct as S
+
+    body = b"WEBP"
+    for tag, data in chunks:
+        body += tag + S.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+    return b"RIFF" + S.pack("<I", len(body)) + body
+
+
+def _forward_alpha_filter(a: np.ndarray, filt: int) -> np.ndarray:
+    """Encoder-side residual computation for the ALPH prediction
+    filters (the inverse of webp.decode_alpha_plane's unfiltering;
+    cross-validated against libwebp decodes of crafted containers)."""
+    h, w = a.shape
+    res = np.zeros_like(a, dtype=np.int16)
+    for r in range(h):
+        for c in range(w):
+            if r == 0:
+                pred = 0 if c == 0 else int(a[0, c - 1])
+            elif filt == 1:
+                pred = int(a[r - 1, 0]) if c == 0 else int(a[r, c - 1])
+            elif filt == 2:
+                pred = int(a[r - 1, c])
+            else:
+                if c == 0:
+                    pred = int(a[r - 1, 0])
+                else:
+                    g = int(a[r, c - 1]) + int(a[r - 1, c]) - int(a[r - 1, c - 1])
+                    pred = max(0, min(255, g))
+            res[r, c] = (int(a[r, c]) - pred) & 0xFF
+    return res.astype(np.uint8)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_handcrafted_alpha_filter_containers(filt):
+    """All four ALPH prediction filters, hermetically: a raw-compression
+    alpha plane forward-filtered in the test is wrapped around a
+    committed VP8 chunk; decoding must recover the intended alpha
+    exactly.  (The same construction was cross-checked against
+    libwebp's decoder when the fixtures were built — libwebp returns
+    the identical alpha for these containers.)"""
+    import struct as S
+
+    from firefly_vcut_spark.operators.vp8 import decode_webp_extended
+
+    with open(os.path.join(DATA_DIR, "flat_16x16_q75.webp"), "rb") as f:
+        base = f.read()
+    pos = 12
+    vp8c = None
+    while pos + 8 <= len(base):
+        tag = base[pos:pos + 4]
+        size = S.unpack_from("<I", base, pos + 4)[0]
+        if tag == b"VP8 ":
+            vp8c = base[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    w = h = 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    alpha = ((xx * 11 + yy * 7) % 256).astype(np.uint8)
+    alpha[4:9, 3:12] = 5
+    res = _forward_alpha_filter(alpha, filt) if filt else alpha
+    alph = bytes([filt << 2]) + res.tobytes()
+    vp8x = bytes([0x10, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    blob = _assemble_webp([(b"VP8X", vp8x), (b"ALPH", alph), (b"VP8 ", vp8c)])
+    w2, h2, channels, px = decode_webp_extended(blob)
+    assert (w2, h2, channels) == (w, h, 4)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 4)[..., 3]
+    assert np.array_equal(got, alpha), f"filter {filt}"
+
+
+def test_animated_webp_raises_declared_boundary():
+    from firefly_vcut_spark.operators.vp8 import decode_webp_extended
+
+    vp8x = bytes([0x12, 0, 0, 0]) + (15).to_bytes(3, "little") + (15).to_bytes(3, "little")
+    blob = _assemble_webp([(b"VP8X", vp8x)])
+    with pytest.raises(NotImplementedError):
+        decode_webp_extended(blob)
+
+
+@pytest.mark.skipif(_libwebp() is None, reason="system libwebp not present")
+def test_live_rgba_parity_with_libwebp():
+    """Fresh RGBA encodes: our alpha must equal libwebp's decoded alpha
+    channel byte-for-byte."""
+    import ctypes
+
+    from firefly_vcut_spark.operators.vp8 import decode_webp_extended
+
+    lib = _libwebp()
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        w = int(rng.integers(8, 90))
+        h = int(rng.integers(8, 70))
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w, 4), np.uint8)
+        img[..., 0] = (xx * 5) % 256
+        img[..., 1] = (yy * 7) % 256
+        img[..., 2] = 128
+        img[..., 3] = (rng.integers(0, 256, (h, w)) if trial % 2
+                       else ((xx * 3 + yy * 2) % 256))
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.WebPEncodeRGBA(img.tobytes(), w, h, w * 4,
+                               float(rng.choice([40, 75, 95])), ctypes.byref(out))
+        blob = bytes(bytearray(out[i] for i in range(n)))
+        lib.WebPFree(out)
+        if blob[12:16] != b"VP8X":
+            continue  # encoder dropped alpha (e.g. all-opaque)
+        wi = ctypes.c_int(); hi = ctypes.c_int()
+        p = lib.WebPDecodeRGBA(blob, len(blob), ctypes.byref(wi), ctypes.byref(hi))
+        ref = np.ctypeslib.as_array(p, (h, w, 4)).copy()
+        lib.WebPFree(p)
+        w2, h2, _, px = decode_webp_extended(blob)
+        ours = np.frombuffer(px, np.uint8).reshape(h, w, 4)
+        assert np.array_equal(ours[..., 3], ref[..., 3]), f"trial {trial}"

@@ -74,13 +74,19 @@ def test_distance_map_spec_head():
     assert len(set(_DIST_MAP)) == 120
 
 
-def test_extended_vp8x_raises_declared_boundary():
-    """Lossy VP8 stills decode natively since r11 (operators/vp8.py);
-    the declared boundary narrows to extended VP8X."""
-    payload = b"\x00" * 10
+def test_animated_vp8x_raises_declared_boundary():
+    """Lossy VP8 and extended-alpha stills decode natively since r11
+    (operators/vp8.py); the declared boundary narrows to animation."""
+    payload = b"\x02" + b"\x00" * 9  # VP8X with the ANIM flag set
     chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
     blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
     with pytest.raises(NotImplementedError):
+        decode_vp8l(blob)
+    # a still VP8X container with no image chunk is malformed instead
+    payload = b"\x10" + b"\x00" * 9
+    chunk = b"VP8X" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError):
         decode_vp8l(blob)
     # a junk lossy chunk routes to the real decoder and is malformed
     chunk = b"VP8 " + struct.pack("<I", 10) + b"\x00" * 10

@@ -111,6 +111,49 @@ FIXTURES = [
 ]
 
 
+# VP8X + ALPH fixtures: RGBA encodes (libwebp picks VP8L-compressed
+# alpha for smooth planes and raw for noise); manifest carries the
+# ALPHA channel md5 from libwebp's own RGBA decode alongside the YUV
+# md5s of the color frame
+ALPHA_FIXTURES = [
+    ("rgba_48x32_q75_gradalpha", 48, 32, 75.0, "grad"),
+    ("rgba_64x48_q60_noisealpha", 64, 48, 60.0, "noise"),
+]
+
+
+def encode_rgba(lib, img: np.ndarray, quality: float) -> bytes:
+    import ctypes as C
+
+    lib.WebPEncodeRGBA.restype = C.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        C.c_char_p, C.c_int, C.c_int, C.c_int,
+        C.c_float, C.POINTER(C.POINTER(C.c_uint8)),
+    ]
+    lib.WebPDecodeRGBA.restype = C.POINTER(C.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        C.c_char_p, C.c_size_t, C.POINTER(C.c_int), C.POINTER(C.c_int),
+    ]
+    h, w, _ = img.shape
+    out = C.POINTER(C.c_uint8)()
+    n = lib.WebPEncodeRGBA(img.tobytes(), w, h, w * 4, quality, C.byref(out))
+    assert n > 0
+    blob = bytes(bytearray(out[i] for i in range(n)))
+    lib.WebPFree(out)
+    return blob
+
+
+def ref_decode_rgba(lib, blob: bytes):
+    import ctypes as C
+
+    wi = C.c_int()
+    hi = C.c_int()
+    p = lib.WebPDecodeRGBA(blob, len(blob), C.byref(wi), C.byref(hi))
+    assert p
+    arr = np.ctypeslib.as_array(p, (hi.value, wi.value, 4)).copy()
+    lib.WebPFree(p)
+    return arr
+
+
 def main() -> None:
     lib = load_libwebp()
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -132,6 +175,36 @@ def main() -> None:
             "md5_v": hashlib.md5(V.tobytes()).hexdigest(),
         }
         print(f"{name}: {len(blob)} bytes", file=sys.stderr)
+    for name, w, h, q, alpha_kind in ALPHA_FIXTURES:
+        rng = np.random.default_rng(11)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w, 4), np.uint8)
+        img[..., 0] = (xx * 5) % 256
+        img[..., 1] = (yy * 7) % 256
+        img[..., 2] = 128
+        if alpha_kind == "grad":
+            img[..., 3] = (xx * 3 + yy * 2) % 256
+        else:
+            img[..., 3] = rng.integers(0, 256, (h, w))
+        blob = encode_rgba(lib, img, q)
+        assert blob[12:16] == b"VP8X", "expected an extended container"
+        rgba = ref_decode_rgba(lib, blob)
+        Y, U, V = ref_decode(lib, blob)
+        with open(os.path.join(OUT_DIR, name + ".webp"), "wb") as f:
+            f.write(blob)
+        manifest[name] = {
+            "width": int(w),
+            "height": int(h),
+            "quality": q,
+            "bytes": len(blob),
+            "md5_y": hashlib.md5(Y.tobytes()).hexdigest(),
+            "md5_u": hashlib.md5(U.tobytes()).hexdigest(),
+            "md5_v": hashlib.md5(V.tobytes()).hexdigest(),
+            "md5_alpha": hashlib.md5(
+                np.ascontiguousarray(rgba[..., 3]).tobytes()
+            ).hexdigest(),
+        }
+        print(f"{name}: {len(blob)} bytes (VP8X)", file=sys.stderr)
     with open(os.path.join(OUT_DIR, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     print(f"wrote {len(manifest)} fixtures to {OUT_DIR}", file=sys.stderr)
