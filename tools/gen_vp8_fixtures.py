@@ -154,6 +154,61 @@ def ref_decode_rgba(lib, blob: bytes):
     return arr
 
 
+def adv_encode(lib, img: np.ndarray, **overrides) -> bytes:
+    """Advanced-API encode (WebPConfig + WebPPicture via ctypes struct
+    offsets) to reach streams the simple API never emits: the SIMPLE
+    loop filter and nonzero sharpness.  The config layout is verified
+    against the library's own defaults fingerprint before poking; the
+    picture layout is verified by the y-plane pointer ImportRGB fills.
+    (config.partitions is accepted but ignored by this libwebp, so
+    multi-partition token streams remain unreachable by any encoder in
+    this environment — that decoder path is spec-only.)"""
+    import ctypes as C
+    import struct as S
+
+    ABI = 0x20F
+    cfg = (C.c_uint8 * 512)()
+    assert lib.WebPConfigInitInternal(cfg, 0, C.c_float(75.0), ABI)
+    expect = S.unpack_from("<i f 7i", bytes(cfg), 0)
+    assert expect == (0, 75.0, 4, 0, 0, 0, 4, 50, 60), (
+        "WebPConfig layout changed — refusing to poke fields blindly"
+    )
+    off = {"filter_strength": 32, "filter_sharpness": 36, "filter_type": 40,
+           "segments": 24, "partitions": 72}
+    for k, v in overrides.items():
+        S.pack_into("<i", cfg, off[k], v)
+    assert lib.WebPValidateConfig(cfg)
+
+    h, w, _ = img.shape
+    pic = (C.c_uint8 * 512)()
+    assert lib.WebPPictureInitInternal(pic, ABI)
+    S.pack_into("<i", pic, 8, w)
+    S.pack_into("<i", pic, 12, h)
+    assert lib.WebPPictureImportRGB(pic, img.tobytes(), w * 3)
+    assert S.unpack_from("<Q", pic, 16)[0] != 0, "WebPPicture layout changed"
+    writer = (C.c_uint8 * 32)()
+    lib.WebPMemoryWriterInit(writer)
+    S.pack_into("<Q", pic, 96, C.cast(lib.WebPMemoryWrite, C.c_void_p).value)
+    S.pack_into("<Q", pic, 104, C.addressof(writer))
+    assert lib.WebPEncode(cfg, pic), "advanced encode failed"
+    mem, size = S.unpack_from("<QQ", bytes(writer), 0)
+    blob = C.string_at(mem, size)
+    lib.WebPPictureFree(pic)
+    lib.WebPMemoryWriterClear(writer)
+    return blob
+
+
+# advanced-API fixtures: (name, w, h, config overrides)
+ADV_FIXTURES = [
+    # config filter_type 0 = SIMPLE loop filter in the bitstream
+    ("mix_96x80_simplefilter", 96, 80,
+     {"filter_type": 0, "filter_strength": 100, "filter_sharpness": 5}),
+    # normal filter with nonzero sharpness (shrinks the interior limit)
+    ("mix_96x80_sharp", 96, 80,
+     {"filter_type": 1, "filter_strength": 100, "filter_sharpness": 3}),
+]
+
+
 def main() -> None:
     lib = load_libwebp()
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -205,6 +260,27 @@ def main() -> None:
             ).hexdigest(),
         }
         print(f"{name}: {len(blob)} bytes (VP8X)", file=sys.stderr)
+    for name, w, h, overrides in ADV_FIXTURES:
+        rng = np.random.default_rng(2)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(xx * 5 + yy * 3) % 256, (xx * 2 + 100) % 256, (yy * 7) % 256], -1
+        ).astype(np.uint8)
+        img[16:64, 20:60] = rng.integers(0, 256, (48, 40, 3))
+        blob = adv_encode(lib, img, **overrides)
+        Y, U, V = ref_decode(lib, blob)
+        with open(os.path.join(OUT_DIR, name + ".webp"), "wb") as f:
+            f.write(blob)
+        manifest[name] = {
+            "width": int(w),
+            "height": int(h),
+            "quality": 75.0,
+            "bytes": len(blob),
+            "md5_y": hashlib.md5(Y.tobytes()).hexdigest(),
+            "md5_u": hashlib.md5(U.tobytes()).hexdigest(),
+            "md5_v": hashlib.md5(V.tobytes()).hexdigest(),
+        }
+        print(f"{name}: {len(blob)} bytes (advanced)", file=sys.stderr)
     with open(os.path.join(OUT_DIR, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     print(f"wrote {len(manifest)} fixtures to {OUT_DIR}", file=sys.stderr)
