@@ -444,3 +444,34 @@ def test_live_rgba_parity_with_libwebp():
         w2, h2, _, px = decode_webp_extended(blob)
         ours = np.frombuffer(px, np.uint8).reshape(h, w, 4)
         assert np.array_equal(ours[..., 3], ref[..., 3]), f"trial {trial}"
+
+
+def test_vp8x_wrapping_vp8l_decodes_lossless():
+    """A VP8X container around a VP8L chunk (lossless still inside the
+    extended container, e.g. when metadata chunks force VP8X) must
+    round-trip the exact RGBA the engine's own VP8L encoder produced
+    (libwebp agrees byte-for-byte — cross-checked when this test was
+    written)."""
+    import struct as S
+
+    from firefly_vcut_spark.operators.vp8 import decode_webp_extended
+    from firefly_vcut_spark.operators.webp import encode_vp8l
+
+    rng = np.random.default_rng(4)
+    w, h = 20, 14
+    rgba = bytes(rng.integers(0, 256, w * h * 4).astype(np.uint8))
+    plain = encode_vp8l(rgba, w, h)
+    pos = 12
+    chunk = None
+    while pos + 8 <= len(plain):
+        tag = plain[pos:pos + 4]
+        size = S.unpack_from("<I", plain, pos + 4)[0]
+        if tag == b"VP8L":
+            chunk = plain[pos + 8:pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    vp8x = bytes([0x10, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    blob = _assemble_webp([(b"VP8X", vp8x), (b"VP8L", chunk)])
+    w2, h2, channels, px = decode_webp_extended(blob)
+    assert (w2, h2, channels) == (w, h, 4)
+    assert px == rgba
