@@ -15,6 +15,10 @@ Correctness is proven against real encoders, not self-roundtrips: the
 parity suite (tests/test_vp8.py) decodes libwebp-ENCODED streams and
 requires our Y/U/V planes to equal libwebp's own decode PIXEL-EXACTLY.
 A single wrong probability byte, filter tap, or border pixel fails it.
+(One caveat, declared: no encoder in this environment emits more than
+one token partition — libwebp ignores config.partitions — so the
+multi-partition path, three lines of size-parse plus mb_row%nparts
+partition selection, is spec-conformant but untested on real streams.)
 
 The extended container (VP8X) still path decodes too:
 ``decode_webp_extended`` handles the ALPH alpha plane (raw or
