@@ -243,7 +243,8 @@ def idct4x4(ip):
 
 
 class _Header:
-    pass
+    """Parsed keyframe header fields (attribute bag filled by
+    _parse_header; see RFC 6386 section 9 for the field inventory)."""
 
 
 def _parse_header(bd: BoolDecoder) -> _Header:
