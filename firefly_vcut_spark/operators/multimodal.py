@@ -2531,3 +2531,69 @@ def encode_synthetic_tiff(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         kernel, "doc_id long, blob binary"
     )
+
+
+VP8_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("y_md5", T.StringType()),
+        T.StructField("u_md5", T.StringType()),
+        T.StructField("v_md5", T.StringType()),
+        T.StructField("alpha_md5", T.StringType()),
+        T.StructField("mean_y", T.DoubleType()),
+    ]
+)
+
+
+def decode_vp8_features(blobs: DataFrame) -> DataFrame:
+    """mapInPandas kernel over REAL lossy / extended WebP containers:
+    each blob decodes with the from-scratch VP8 keyframe decoder
+    (operators/vp8.py) and reduces to the plane md5s + mean luma that
+    the committed libwebp truth rows record. Input: (name, blob).
+    Blobs never shuffle — the kernel runs where the rows sit, same as
+    every other multimodal kernel."""
+    import struct as _S
+
+    from firefly_vcut_spark.operators.vp8 import (
+        decode_frame,
+        decode_webp_extended,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in VP8_DECODED_SCHEMA.fields}
+            for name, blob in zip(pdf["name"], pdf["blob"]):
+                blob = bytes(blob)
+                if blob[12:16] == b"VP8X":
+                    w, h, _ch, px = decode_webp_extended(blob)
+                    alpha = bytes(px[4 * i + 3] for i in range(w * h))
+                    alpha_md5 = hashlib.md5(alpha).hexdigest()
+                    pos = 12
+                    vp8c = None
+                    while pos + 8 <= len(blob):
+                        tag = blob[pos:pos + 4]
+                        size = _S.unpack_from("<I", blob, pos + 4)[0]
+                        if tag == b"VP8 ":
+                            vp8c = blob[pos + 8:pos + 8 + size]
+                        pos += 8 + size + (size & 1)
+                    frame = decode_frame(vp8c)
+                else:
+                    from firefly_vcut_spark.operators.vp8 import decode_webp_vp8
+
+                    frame = decode_webp_vp8(blob)
+                    alpha_md5 = ""
+                out["name"].append(name)
+                out["width"].append(frame.width)
+                out["height"].append(frame.height)
+                out["y_md5"].append(hashlib.md5(frame.y).hexdigest())
+                out["u_md5"].append(hashlib.md5(frame.u).hexdigest())
+                out["v_md5"].append(hashlib.md5(frame.v).hexdigest())
+                out["alpha_md5"].append(alpha_md5)
+                out["mean_y"].append(
+                    round(sum(frame.y) / len(frame.y), 6)
+                )
+            yield pd.DataFrame(out)
+
+    return blobs.select("name", "blob").mapInPandas(kernel, VP8_DECODED_SCHEMA)

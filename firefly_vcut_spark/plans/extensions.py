@@ -2050,3 +2050,69 @@ def agg_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.round(F.sum("pq") / 10000.0 / F.count(F.lit(1)), 4).alias("avg_proj"),
     ).select(F.col("label").cast("bigint").alias("label"), "n_vecs", "avg_proj")
+
+
+@query(
+    "mm_vp8_lossy_decode",
+    sql="""
+    SELECT CAST(name AS VARCHAR) AS name,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(y_md5 AS VARCHAR) AS y_md5,
+           CAST(u_md5 AS VARCHAR) AS u_md5,
+           CAST(v_md5 AS VARCHAR) AS v_md5,
+           CAST(alpha_md5 AS VARCHAR) AS alpha_md5,
+           CAST(mean_y AS DOUBLE) AS mean_y
+    FROM (VALUES
+      ('flat_16x16_q75', 16, 16, 'c54a2d44c8a73ab63d892b8b3d1c336f', 'f8a4e25e94538cb6397dcbefef497031', 'baf13e8b16d8c06324d7c9ab32cb7ff0', '', 129.0),
+      ('grad_128x96_q60', 128, 96, 'd6309b8e114f0790d4ea735d5f0d2175', '9fd30bd00452b72e29aeee9db9e5c1a7', 'f395a6b881fff2a5f5a68a0575ae025e', '', 123.718994),
+      ('grad_33x17_q75', 33, 17, '038b7567f1473cc3e35afffe6be6385f', 'd0e900c89a55e80f22b91d072e94e1b0', '31acace45de31a0d835e643ef7bb2d16', '', 114.525847),
+      ('grad_48x32_q5', 48, 32, 'f4e3be22486425117ed0cc8ad02a9921', 'e15fae154b6f33989c54b596c7b561f9', 'acfda436efe742c85bbfa6e6ebd39f90', '', 134.460938),
+      ('grad_48x32_q75', 48, 32, 'b6c30c3212300068ab9fe91a2f079f20', '354b40bd00b43fabe4eaff9ee142a80f', 'd66c32fdee8d64720ea3b44177a3d35c', '', 134.402344),
+      ('mix_80x48_q75', 80, 48, '32b7e8de48ee67debaa78e5001c4715c', '2e9526a23c9201697e28029a62d42888', '7684afb7608d74a2689024c8c58fbce3', '', 144.822917),
+      ('mix_80x48_q99', 80, 48, 'c940973d81fdcef3a30996a92a1654fc', '0373a248ed77a32d4371f3278c3f9319', '9a66e26ac5b3509cd2f4cdcc0b9dcd11', '', 144.949219),
+      ('mix_96x80_sharp', 96, 80, 'e72916baeecff74a599f1939e337b874', '8669d1f4831705f9a2c1e8e173621982', '6fb463bae34fdab73fdbc967a9061e51', '', 128.835026),
+      ('mix_96x80_simplefilter', 96, 80, 'b885779f500dae77c4ae669b7aa31a38', 'b1e5eaf7f626ba2cf480435691474e93', '68a43a1d685370b43e6080b2565665ff', '', 128.809115),
+      ('noise_32x32_q40', 32, 32, '59a2b8a4e4f8db7601da7051878b6aa2', '0a4bc9cbcb67b797b50138f70411ef84', '55205026ecefa3808773f04d0179907d', '', 126.930664),
+      ('noise_32x32_q99', 32, 32, '69a6c97b71060c6f5bf303e8d16c38e5', '04bbd1b8fb0556091ab92904b8460b6d', '577e1f11e54e3a16ec254296357e12df', '', 126.880859),
+      ('rgba_48x32_q75_gradalpha', 48, 32, '2aa8e3f950ae48fb442b6c3ae497c648', '21b3249ab3aa31ce5460daffea654d92', 'fb1a6b522ba126468a3762f127dd9e33', '207564c3ee5bd49d791b1356cc2b9cc5', 113.367839),
+      ('rgba_64x48_q60_noisealpha', 64, 48, 'c1240614e874b202d9e3d65f415675b0', '56825033fc7329864b9fc7979c507da0', '0b90900c9d139cf838c5401632e7f58b', '0e89c475905b129581c1d7833dcc21e4', 110.097656)
+    ) AS t(name, width, height, y_md5, u_md5, v_md5, alpha_md5, mean_y)
+    """,
+    tags=("multimodal", "extension", "udf", "fixture-local"),
+)
+def mm_vp8_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy / extended WebP decode against REFERENCE-CODEC truth: the
+    committed real libwebp-ENCODED blobs (operators/vp8_fixture_data,
+    13 streams covering q5..q99 loop-filter levels, both filter
+    families, segmentation, odd dims, B_PRED-heavy content, VP8X raw +
+    VP8L-compressed alpha) decode with the from-scratch VP8 keyframe
+    decoder in an Arrow mapInPandas kernel, reducing to plane md5s +
+    mean luma. The oracle's VALUES rows are what LIBWEBP'S OWN DECODER
+    produced for the same blobs, recorded at fixture-build time by
+    tools/gen_vp8_fixtures.py — so parity here is engine-vs-reference-
+    codec, not a self-roundtrip; one wrong probability byte, filter
+    tap, or border pixel in the decoder flips a plane md5.
+
+    The engine has no VP8 ENCODER (lossy blobs cannot be synthesized
+    per-doc the way the VP8L/PPM round-trips are), so the relation is
+    the 13 committed streams at every SF — sf_dir-independent by
+    construction, like the production shape of a parquet blob column
+    scanned where it sits; blobs never shuffle."""
+    import base64
+
+    from firefly_vcut_spark.operators.multimodal import decode_vp8_features
+    from firefly_vcut_spark.operators.vp8_fixture_data import BLOBS_B64
+
+    rows = [
+        (name, bytearray(base64.b64decode(b64)))
+        for name, b64 in sorted(BLOBS_B64.items())
+    ]
+    blobs = spark.createDataFrame(rows, "name string, blob binary")
+    return decode_vp8_features(blobs).select(
+        F.col("name").cast("string").alias("name"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "y_md5", "u_md5", "v_md5", "alpha_md5",
+        F.col("mean_y").cast("double").alias("mean_y"),
+    )

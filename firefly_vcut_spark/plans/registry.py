@@ -127,6 +127,9 @@ def _load_all() -> None:
 # every vintage, not r1-era records. Family coverage is satisfied via
 # the relaxed gate (every family fully driver-green).
 _FRONT50 = [
+    # r11 addition: the new reference-codec-truth VP8 decode query gets
+    # its first driver record in the same round it lands
+    "mm_vp8_lossy_decode",
     "a6_insert_ignore",
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",
@@ -176,7 +179,6 @@ _FRONT50 = [
     "q6_forecast_revenue",
     "s2_nested_transcript_roundtrip",
     "search_bm25_topk",
-    "st_enrich_stream_static",
 ]
 
 

@@ -284,6 +284,68 @@ def main() -> None:
     with open(os.path.join(OUT_DIR, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     print(f"wrote {len(manifest)} fixtures to {OUT_DIR}", file=sys.stderr)
+    _emit_fixture_module(lib, manifest)
+
+
+def _emit_fixture_module(lib, manifest) -> None:
+    """Emit operators/vp8_fixture_data.py: the committed blobs as
+    base64 plus LIBWEBP-DERIVED truth rows (dims, plane md5s, alpha
+    md5, mean luma).  The registry query mm_vp8_lossy_decode decodes
+    the blobs with the from-scratch decoder and its DuckDB oracle
+    asserts these recorded constants — external ground truth from the
+    reference codec, not a self-roundtrip."""
+    import base64
+
+    out_path = os.path.join(
+        os.path.dirname(OUT_DIR.rstrip("/")), "..",
+        "firefly_vcut_spark", "operators", "vp8_fixture_data.py",
+    )
+    out_path = os.path.normpath(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "firefly_vcut_spark", "operators", "vp8_fixture_data.py"))
+    rows = []
+    blobs = {}
+    for name in sorted(manifest):
+        with open(os.path.join(OUT_DIR, name + ".webp"), "rb") as f:
+            blob = f.read()
+        blobs[name] = base64.b64encode(blob).decode()
+        Y, U, V = ref_decode(lib, blob)
+        if blob[12:16] == b"VP8X":
+            rgba = ref_decode_rgba(lib, blob)
+            alpha_md5 = hashlib.md5(
+                np.ascontiguousarray(rgba[..., 3]).tobytes()
+            ).hexdigest()
+        else:
+            alpha_md5 = ""
+        rows.append({
+            "name": name,
+            "width": manifest[name]["width"],
+            "height": manifest[name]["height"],
+            "y_md5": hashlib.md5(Y.tobytes()).hexdigest(),
+            "u_md5": hashlib.md5(U.tobytes()).hexdigest(),
+            "v_md5": hashlib.md5(V.tobytes()).hexdigest(),
+            "alpha_md5": alpha_md5,
+            "mean_y": round(float(Y.astype(np.float64).mean()), 6),
+        })
+    with open(out_path, "w") as f:
+        f.write('"""GENERATED by tools/gen_vp8_fixtures.py — committed real\n'
+                "libwebp-ENCODED lossy/extended WebP blobs (base64) plus the\n"
+                "truth rows libwebp's own DECODER produces for them (plane\n"
+                "md5s, alpha md5, mean luma). mm_vp8_lossy_decode decodes the\n"
+                "blobs with the from-scratch VP8 decoder (operators/vp8.py)\n"
+                "and its oracle asserts these constants: external reference-\n"
+                'codec truth, not a self-roundtrip. Do not edit by hand."""\n\n'
+                "BLOBS_B64 = {\n")
+        for name, b64 in blobs.items():
+            f.write(f'    "{name}": (\n')
+            for i in range(0, len(b64), 68):
+                f.write(f'        "{b64[i:i+68]}"\n')
+            f.write("    ),\n")
+        f.write("}\n\nTRUTH_ROWS = [\n")
+        for r in rows:
+            f.write(f"    {r!r},\n")
+        f.write("]\n")
+    print(f"wrote {out_path} ({len(rows)} truth rows)", file=sys.stderr)
 
 
 if __name__ == "__main__":
