@@ -110,24 +110,39 @@ def minhash_lsh_candidates(
     hash_mode "xxhash64" (default) is the engine path; "portable"
     swaps in the affine family over a char-fold shingle hash — same
     banding pipeline, integer arithmetic DuckDB can replay exactly,
-    so the LSH join/grouping logic gets a full oracle check."""
+    so the LSH join/grouping logic gets a full oracle check.
+
+    Pair generation is bucket-array, not self-join: one shuffle on
+    (band_id, band_hash) collects each bucket's sorted ids and the
+    candidate pairs explode from the array in codegen. A self-join
+    would run the whole signature pipeline (shingle explode ×
+    num_hashes hash columns × min-agg) once PER SIDE; the bucket
+    aggregation runs it once. Work per bucket is C(|bucket|, 2)
+    either way — near-dup buckets are small by construction, and a
+    pathological hot bucket hurts the self-join identically."""
     banded = minhash_band_table(
         docs, text_col, id_col, num_hashes, bands, hash_mode
     ).select("id", F.explode("bands").alias("band")).select(
         "id", "band.band_id", "band.band_hash"
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda a, i: F.transform(
+                F.slice("ids", i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
 
@@ -392,7 +407,10 @@ def ngram_jaccard_pairs(
         blocking.alias("block"),
         F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
-    tok = base.select("id", "block", F.explode("toks").alias("tok"))
+    # n_toks rides the exploded rows (one int per token row) so the
+    # union size is already on the joined pair — no per-side join-back
+    # of an O(docs) size table after the intersection count
+    tok = base.select("id", "block", "n_toks", F.explode("toks").alias("tok"))
     # Band the id space into gap-width buckets and fold the bucket into
     # the equi-join key: a pair with 0 < id_b - id_a <= gap always has
     # bucket(b) ∈ {bucket(a), bucket(a)+1}, so replicating the A side
@@ -416,23 +434,24 @@ def ngram_jaccard_pairs(
             & (F.col("a.id") < F.col("b.id"))
             & (F.col("b.id") - F.col("a.id") <= max_id_gap),
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            # functionally dependent on the ids — free extra keys that
+            # make the sizes available without a join-back
+            F.col("a.n_toks").alias("n_a"),
+            F.col("b.n_toks").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
     )
-    na = base.select(F.col("id").alias("id_a"), F.col("n_toks").alias("n_a"))
-    nb = base.select(F.col("id").alias("id_b"), F.col("n_toks").alias("n_b"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
-            ).alias("jaccard"),
-        )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            4,
+        ).alias("jaccard"),
     )
 
 

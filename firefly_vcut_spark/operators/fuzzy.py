@@ -128,7 +128,11 @@ def best_window_per_pair(scored: DataFrame, id_col: str = "doc_id") -> DataFrame
         (-F.col("page")).alias("neg_page"),
         (-F.col("seg_idx")).alias("neg_idx"),
     )
-    payload = F.struct("score", "page", "seg_idx", "start", "wtext")
+    # payload carries only the reported columns — NOT wtext: the window
+    # text is the fat column, and keeping it in the max_by struct would
+    # drag every window's text through the partial-agg sort and the
+    # (song, doc) exchange just to be dropped by the caller
+    payload = F.struct("score", "page", "seg_idx", "start")
     return (
         scored.groupBy("song_id", id_col)
         .agg(F.max_by(payload, ordering).alias("best"))
@@ -139,7 +143,6 @@ def best_window_per_pair(scored: DataFrame, id_col: str = "doc_id") -> DataFrame
             F.col("best.page").alias("page"),
             F.col("best.seg_idx").alias("seg_idx"),
             F.col("best.start").alias("start"),
-            F.col("best.wtext").alias("wtext"),
         )
     )
 
@@ -161,13 +164,19 @@ def fuzzy_occurrence_scan(
     ks = [r["k"] for r in sg.select("k").distinct().collect()]
     if not ks:
         raise ValueError("no matchable songs: all lyrics null/empty")
-    windows = assemble_windows(segments, ks, id_col)
     # Scoring is CPU-bound, not size-bound: AQE coalesces the tiny
     # window shuffle (<1 MB) to one partition, which would serialize
-    # the levenshtein fan-out on one core. Explicit repartition keeps
-    # the expensive stage at full parallelism (AQE respects
-    # user-specified partition counts).
-    windows = windows.repartition(segments.sparkSession.sparkContext.defaultParallelism)
+    # the scoring fan-out on one core. Pre-partitioning the SEGMENTS on
+    # the window keys at full parallelism makes that one exchange both
+    # the parallelism pin (AQE respects user repartition counts) AND
+    # the window's required distribution — the assembled windows then
+    # flow straight into the broadcast join + scorer with no second
+    # exchange of exploded window TEXT (the old round-robin repartition
+    # shuffled k x segments rows of wtext payload).
+    segments = segments.repartition(
+        segments.sparkSession.sparkContext.defaultParallelism, id_col, "page"
+    )
+    windows = assemble_windows(segments, ks, id_col)
     # Considered and rejected: pruning pairs with the JVM lev bound
     # (lev_ratio >= indel_ratio) before the pandas UDF. The bound is
     # provably emitted-rows-exact at threshold-0.001, but measured

@@ -139,41 +139,44 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-containment overlap MinHash's whole-set Jaccard dilutes.
 
     Scale: fingerprints explode map-side to (h, doc_id) — 8-byte
-    hashes, never text; one shuffle on h for the frequency cap +
-    bucket self-join (pairs only within a fingerprint's ≤50-doc
-    bucket), one shuffle on the pair for the count. The LSH-candidate
-    shape with h as the band key."""
+    hashes, never text; ONE shuffle on h builds the ≤50-doc bucket
+    per fingerprint (collect_list is safe: the cap bounds the bucket),
+    pairs are generated IN the bucket array (≤ C(50,2) per h, pure
+    codegen — no self-join, so the fingerprint pipeline runs once
+    instead of once per join side), and one shuffle on the pair
+    counts shared fingerprints. The LSH-candidate shape with h as the
+    band key."""
     # the winnowing expression is the CPU stage: spread the (often
-    # single-file) scan across cores before computing it, and
-    # materialize the per-doc fingerprints ONCE — the pair scan reads
-    # them three times (explode, cap join, both self-join sides)
+    # single-file) scan across cores before computing it
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    fp = winnow_fingerprints(docs, "text", "doc_id", _K, _W).localCheckpoint(
-        eager=False
-    )
+    fp = winnow_fingerprints(docs, "text", "doc_id", _K, _W)
     doc_fp = fp.select(
         "doc_id", F.explode(F.array_distinct(F.transform("fps", lambda x: x["h"]))).alias("h")
     )
-    common = (
+    # one h-keyed aggregation replaces the old count-filter + join-back
+    # + bucket self-join (which duplicated the whole fingerprint
+    # subtree on both join sides): bucket = sorted doc ids sharing h,
+    # capped at the stop-gram bound, pairs exploded from the array
+    buckets = (
         doc_fp.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter((F.col("nd") >= 2) & (F.col("nd") <= _MAX_DOCS_PER_FP))
-        .select("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_DOCS_PER_FP))
     )
-    kept = doc_fp.join(common, "h")
-    a = kept.alias("a")
-    b = kept.alias("b")
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda a, i: F.transform(
+                F.slice("ids", i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )

@@ -102,7 +102,7 @@ _LINT_ALLOW: dict[str, set[str]] = {
     "corpus_temperature_mixture": {"sort-merge-join"},  # big-big SMJ: per-source sampled union at scale
     "dedup_allpairs_prefix": {"exchange-count", "unpushed-filter"},  # multi-stage by design (df + prefix + verify); expr-filter on token arrays
     "dedup_lsh_band_tuning": {"exchange-count", "unpushed-filter"},  # eval harness: inherits the AllPairs chain's findings (allowlisted on its own above); the sweep adds only a scalar agg + 6-row unpivot
-    "dedup_lsh_recall": {"exchange-count", "sort-merge-join", "unpushed-filter"},  # eval harness: composes the full AllPairs + LSH pipelines by design (each allowlisted on its own); the eval adds only the pair-key join
+    "dedup_lsh_recall": {"exchange-count", "unpushed-filter"},  # eval harness: composes the full AllPairs + LSH pipelines by design (each allowlisted on its own); the eval adds only the pair-key join (r11: the LSH bucket-array rewrite dropped its last SMJ)
     "dedup_lsh_then_verify": {"exchange-count", "sort-merge-join"},  # big-big SMJ: candidate-pair text join; LSH chain is multi-stage
     "fjson_props_extract": {"unpushed-filter"},  # expr-filter: get_json_object derivation
     "ml_kmeans_full_lloyd": {"unpushed-filter"},  # expr-filter: isnotnull on the expression-derived cell join key (argmin over embedding) — not a scan predicate
