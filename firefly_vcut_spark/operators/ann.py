@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from firefly_vcut_spark.functions.vectors import cosine, dot, norm
+from firefly_vcut_spark.operators.skew import widen_if_narrow
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -52,12 +53,12 @@ def brute_force_topk(
     precomputed once per ROW (not per pair) — same arithmetic as
     dot/(|a|·|b|), so DuckDB hash parity holds, at a third of the
     per-pair HOF work."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism).withColumn(
-        "cn", norm(F.col("cv"))
-    )
+    c = widen_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    ).withColumn("cn", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -86,13 +87,13 @@ def bucketed_topk(
 ) -> DataFrame:
     """IVF/LSH-style top-k: score only pairs sharing the bucket
     (nprobe=1). ``bucket`` is evaluated against both sides' rows."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        bucket.alias("bucket"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism).withColumn(
-        "cn", norm(F.col("cv"))
-    )
+    c = widen_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            bucket.alias("bucket"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    ).withColumn("cn", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         bucket.alias("bucket"),
@@ -360,7 +361,7 @@ def pq_adc_topk(
     dim = len(fit_rows[0].v)
     recon_parts = _recon_parts(books, dim // m)
     encoded = (
-        emb.repartition(spark.sparkContext.defaultParallelism)
+        widen_if_narrow(emb)
         .withColumn("recon", F.concat(*recon_parts))
         .select(F.col("vec_id").alias("neighbor_id"), "recon")
         .withColumn("rn_", norm(F.col("recon")))
@@ -427,7 +428,7 @@ def ivfpq_topk(
     dim = len(fit[0])
 
     assigned = (
-        emb.repartition(spark.sparkContext.defaultParallelism)
+        widen_if_narrow(emb)
         .withColumn("cell", _nearest_cell(centers_arr))
         .withColumn("recon", F.concat(*_recon_parts(books, dim // m)))
         .select("vec_id", "cell", "recon")
@@ -548,11 +549,12 @@ def ivf_kmeans_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dp = corpus.sparkSession.sparkContext.defaultParallelism
-    base = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).repartition(dp)
+    base = widen_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
     ml_input = base.select("neighbor_id", array_to_vector("cv").alias("features"))
     n_rows = ml_input.count()
     fit_input = ml_input
@@ -643,9 +645,8 @@ def assign_cells(emb: DataFrame, centers: list[list[float]]) -> DataFrame:
             for j, c in enumerate(centers)
         ]
     )
-    spark = emb.sparkSession
     return (
-        emb.repartition(spark.sparkContext.defaultParallelism)
+        widen_if_narrow(emb)
         .withColumn(
             "best",
             F.array_min(
@@ -698,26 +699,42 @@ def semdedup(
             cosine(F.col("v"), F.element_at(cent_lit, F.col("cell") + 1)), 4
         ),
     )
+    # One LEFT join decides every vector's fate in a single pass:
+    # candidate a keeps iff NO cell-mate b with higher priority
+    # (centroid-cosine ASC, id ASC) is a semantic near-dup. The old
+    # shape materialized a DISTINCT dropped-id set (its own exchange)
+    # and LEFT-joined it back to a THIRD evaluation of the assignment
+    # subtree — the quantizer argmin is the expensive per-row stage,
+    # so that join-back re-paid the whole scan+assign pipeline and
+    # added a vec_id-keyed sort-merge join (guide §2.4: don't compute
+    # things twice; §3: fewer joins). Now the assignment evaluates
+    # once per join side only, the flag is a partial-aggregating
+    # MIN over the join output (ints, map-side), and no second
+    # join-back exists. Pair cosines stay cell-blocked either way;
+    # cosine is exactly symmetric (IEEE mult/add order unchanged), so
+    # the flipped orientation is bit-identical to the old condition.
     a, b = assigned.alias("a"), assigned.alias("b")
-    higher_priority = (F.col("a.cent_cos") < F.col("b.cent_cos")) | (
-        (F.col("a.cent_cos") == F.col("b.cent_cos"))
-        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    b_beats_a = (F.col("b.cent_cos") < F.col("a.cent_cos")) | (
+        (F.col("b.cent_cos") == F.col("a.cent_cos"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
     )
-    dropped = (
+    return (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") != F.col("b.vec_id"))
-            & higher_priority
+            & b_beats_a
             & (F.round(cosine(F.col("a.v"), F.col("b.v")), 4) >= tau),
+            "left",
         )
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("keep_flag", F.lit(0))
-    )
-    return assigned.join(dropped, "vec_id", "left").select(
-        "vec_id",
-        "cell",
-        "cent_cos",
-        F.coalesce("keep_flag", F.lit(1)).cast("long").alias("keep"),
+        .groupBy(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.cell").alias("cell"),
+            F.col("a.cent_cos").alias("cent_cos"),
+        )
+        .agg(
+            F.min(F.when(F.col("b.vec_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("keep")
+        )
     )

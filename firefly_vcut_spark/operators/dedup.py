@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from firefly_vcut_spark.functions.vectors import cosine
+from firefly_vcut_spark.operators.skew import widen_if_narrow
 
 
 def normalized_text(text: Column) -> Column:
@@ -171,11 +172,10 @@ def minhash_band_table(
     # ~3× faster than the nested higher-order-function form
     # (transform-over-seeds × transform-over-shingles allocates arrays
     # per row and stays outside codegen); the flat columns compile to
-    # one codegen stage and the mins combine map-side. Repartition so a
-    # small single-file input doesn't serialize the hash fan-out.
-    exploded = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    ).select(
+    # one codegen stage and the mins combine map-side. Widen a narrow
+    # (small single-file) scan so it doesn't serialize the hash
+    # fan-out; at scale the scan is already wide and no exchange runs.
+    exploded = widen_if_narrow(docs).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col))).alias("sh"),
     )
@@ -229,7 +229,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """64-bit SimHash per document: tokens hashed with xxhash64, each
     bitplane summed ±1, sign → bit. All map-side until one agg shuffle
     on the doc id."""
-    toks = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+    toks = widen_if_narrow(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -257,7 +257,16 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via
     4×16-bit band buckets (pigeonhole: ≤3 differing bits ⇒ ≥1 equal
-    band), then exact popcount verification on the candidates."""
+    band), then exact popcount verification on the candidates.
+
+    Pair generation is bucket-array, not self-join (the same rewrite
+    as minhash_lsh_candidates): one shuffle on (band_id, band_val)
+    collects each bucket's (id, simhash) rows sorted by id, and the
+    candidate pairs explode from the array in codegen — the signature
+    pipeline (token explode × 64 bitplane aggregates) runs ONCE
+    instead of once per join side. Work per bucket is C(|bucket|, 2)
+    either way; a pathological hot band value hurts the self-join
+    identically (the join key IS the bucket)."""
     sigs = simhash64(docs, text_col, id_col)
     banded = sigs.select(
         "id",
@@ -276,20 +285,29 @@ def simhash_near_dups(
             )
         ).alias("band"),
     ).select("id", "simhash", "band.band_id", "band.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("xs"))
+        .filter(F.size("xs") >= 2)
+    )
+    n = F.size("xs")
+    pair_structs = F.flatten(
+        F.transform(
+            "xs",
+            lambda a, i: F.transform(
+                F.slice("xs", i + 2, F.greatest(n - i - 1, F.lit(0))),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    a["simhash"].alias("sh_a"),
+                    b["simhash"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -321,7 +339,7 @@ def simhash_near_dups_portable(
     banding/pigeonhole plan as the engine path, DuckDB-replayable."""
     coeffs = simhash_coeffs(64)
     half = MINHASH_P // 2
-    toks = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+    toks = widen_if_narrow(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", charfold_hash(F.col("tok")))
@@ -362,19 +380,40 @@ def simhash_near_dups_portable(
             )
         ).alias("band"),
     ).select("id", *[f"band{k}" for k in range(4)], "band.band_id", "band.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+    # bucket-array pair generation, same shape (and rationale) as
+    # simhash_near_dups above: the portable signature pipeline (charfold
+    # hash × 64 affine bitplanes) runs once, not once per join side
+    buckets = (
+        banded.groupBy("band_id", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("id", *[f"band{k}" for k in range(4)]))
+            ).alias("xs")
         )
+        .filter(F.size("xs") >= 2)
+    )
+    nx = F.size("xs")
+    pair_structs = F.flatten(
+        F.transform(
+            "xs",
+            lambda a, i: F.transform(
+                F.slice("xs", i + 2, F.greatest(nx - i - 1, F.lit(0))),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    *[a[f"band{k}"].alias(f"a{k}") for k in range(4)],
+                    *[b[f"band{k}"].alias(f"b{k}") for k in range(4)],
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            *[F.col(f"a.band{k}").alias(f"a{k}") for k in range(4)],
-            *[F.col(f"b.band{k}").alias(f"b{k}") for k in range(4)],
+            "p.id_a",
+            "p.id_b",
+            *[f"p.a{k}" for k in range(4)],
+            *[f"p.b{k}" for k in range(4)],
         )
         .distinct()
     )
@@ -527,11 +566,13 @@ def embedding_near_dups(
     """Embedding-cosine near-dup pairs within a blocking bucket.
     Cosine is pure-Column math; the filter compares the ROUNDED value
     so the threshold boundary is engine-stable."""
-    base = embeddings.select(
-        F.col(id_col).alias("id"),
-        bucket.alias("bucket"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+    base = widen_if_narrow(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            bucket.alias("bucket"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
     a, b = base.alias("a"), base.alias("b")
     cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
     return (

@@ -105,3 +105,51 @@ def salted_join(
     # (key, salt); broadcasting the replicated dim would both defeat
     # the demonstration and waste n_salts x driver memory.
     return f.join(d.hint("shuffle_hash"), on=[key, SALT_COL], how=how).drop(SALT_COL)
+
+
+def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input's planned partition
+    count is below the session's core count — the scale-adaptive form
+    of the ``repartition(defaultParallelism)`` parallelism pin the
+    CPU-heavy operators (MinHash fan-out, quantizer assignment, n-gram
+    explode …) used to hard-code.
+
+    Rationale (optimization guide §2.4 "remove shuffles outright"): a
+    blind keyless ``repartition(n)`` is a full exchange of its input —
+    plus the sort-before-repartition each retried map task pays — that
+    exists only because a LOCAL scale factor arrives as one small
+    parquet file whose scan yields fewer splits than cores, which
+    would serialize the expensive per-row stage above it. On a real
+    cluster the same table arrives as thousands of >=128 MB files, the
+    scan alone yields far more splits than ``defaultParallelism``, and
+    the pin degenerates to shuffling 100 TB round-robin for nothing.
+
+    Mode resolution (override with ``SPARK_GRAFT_WIDEN``):
+
+    - ``local[...]`` master (the only place the narrow-scan problem
+      exists — a bench/test SF is one small file): widen
+      unconditionally. Zero probe overhead, byte-identical plan to the
+      historical pin, so the driver's bench stays comparable.
+    - any cluster master: probe the ACTUAL planned partition count
+      (``df.rdd`` plans the scan with the session's live
+      ``maxPartitionBytes``; no job runs — ~0.1 s of driver time,
+      irrelevant next to cluster-scale stages) and widen only if the
+      input really is narrower than the cores. At 100 TB the scan
+      yields thousands of splits, so the exchange simply disappears.
+
+    ``SPARK_GRAFT_WIDEN=never`` forces the no-op, ``=always`` the
+    unconditional exchange, ``=auto`` the probe — useful for A/B
+    measurement on either side.
+    """
+    import os
+
+    sc = df.sparkSession.sparkContext
+    mode = os.environ.get("SPARK_GRAFT_WIDEN")
+    if mode is None:
+        mode = "always" if sc.master.startswith("local") else "auto"
+    if mode == "never":
+        return df
+    n = target or sc.defaultParallelism
+    if mode == "always" or df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

@@ -348,10 +348,11 @@ def dsir_importance_scores(
     # at sf0.1 for the explode stage alone)
     # full-width CPU parallelism for the hash scan (same pattern as
     # the dedup/ann operators): local SF tables are one small file,
-    # so the scan alone yields too few splits for a per-char fold
-    toked = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    ).select(
+    # so the scan alone yields too few splits for a per-char fold —
+    # widen_if_narrow keeps that pin local-only (no exchange at scale)
+    from firefly_vcut_spark.operators.skew import widen_if_narrow
+
+    toked = widen_if_narrow(docs).select(
         "doc_id",
         target_filter.alias("is_target"),
         tokens(F.col("text")).alias("tk"),

@@ -239,15 +239,42 @@ def allpairs_candidates(
     prefix = ranked.filter(
         F.col("rk") <= F.col("sz") - F.ceil(tau * F.col("sz")) + 1
     ).select("id", "term", "rk", "sz")
-    a = prefix.select(
-        F.col("id").alias("id_a"), "term",
-        F.col("rk").alias("ra"), F.col("sz").alias("sza"),
+    # bucket-array pair generation (same rewrite as the MinHash /
+    # winnow / SimHash candidate stages): ONE term-keyed aggregation
+    # collects each prefix term's (id, rk, sz) rows sorted by id and
+    # the candidate pairs explode from the array in codegen. The old
+    # term self-join evaluated the WHOLE prefix pipeline (shingle
+    # explode → df join → two windows) once per join side; this runs
+    # it once. Per-term work stays C(|bucket|, 2) either way, and
+    # heavy-df terms never enter prefixes by construction, so buckets
+    # are small — the same property that made the join tractable.
+    buckets = (
+        prefix.groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "rk", "sz"))).alias("xs"))
+        .filter(F.size("xs") >= 2)
     )
-    b = prefix.select(
-        F.col("id").alias("id_b"), "term",
-        F.col("rk").alias("rb"), F.col("sz").alias("szb"),
+    nx = F.size("xs")
+    pair_structs = F.flatten(
+        F.transform(
+            "xs",
+            lambda pa, i: F.transform(
+                F.slice("xs", i + 2, F.greatest(nx - i - 1, F.lit(0))),
+                lambda pb: F.struct(
+                    pa["id"].alias("id_a"),
+                    pb["id"].alias("id_b"),
+                    pa["rk"].alias("ra"),
+                    pa["sz"].alias("sza"),
+                    pb["rk"].alias("rb"),
+                    pb["sz"].alias("szb"),
+                ),
+            ),
+        )
     )
-    joined = a.join(b, "term").filter(F.col("id_a") < F.col("id_b"))
+    joined = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.ra", "p.sza", "p.rb", "p.szb")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
     if not positional:
         return joined.select("id_a", "id_b").distinct()
     ub = 1 + F.least(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from firefly_vcut_spark.operators.skew import widen_if_narrow
 from firefly_vcut_spark.plans.registry import query
 from firefly_vcut_spark.sources.catalog import load_table
 
@@ -108,7 +109,7 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(f"{idname}_sn", norm(F.col(f"{idname}_s")))
         )
 
-    c = prep(e, "neighbor_id").repartition(spark.sparkContext.defaultParallelism)
+    c = widen_if_narrow(prep(e, "neighbor_id"))
     q = prep(e.filter(F.expr(_Q_PRED)), "query_id")
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -209,11 +210,13 @@ def corpus_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     # train side = corpus MINUS the eval suite via broadcast anti-join
     # (the production shape: the benchmark is its own small table, not
     # a predicate — and the corpus scan keeps its pushed-down filters)
-    t = prep.join(
-        F.broadcast(q.select(F.col("eval_id").alias("vec_id"))),
-        "vec_id",
-        "left_anti",
-    ).repartition(spark.sparkContext.defaultParallelism)
+    t = widen_if_narrow(
+        prep.join(
+            F.broadcast(q.select(F.col("eval_id").alias("vec_id"))),
+            "vec_id",
+            "left_anti",
+        )
+    )
     return (
         t.crossJoin(F.broadcast(q))
         .select(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from firefly_vcut_spark.functions.vectors import sign_bucket
 from firefly_vcut_spark.operators import text as tx
+from firefly_vcut_spark.operators.skew import widen_if_narrow
 from firefly_vcut_spark.operators.ann import (
     brute_force_topk,
     bucketed_topk,
@@ -1661,7 +1662,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = d.repartition(spark.sparkContext.defaultParallelism).select(
+    bg = widen_if_narrow(d).select(
         "source", F.explode(bigrams).alias("bigram")
     )
     counted = bg.groupBy("source", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1739,7 +1740,7 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup3_frac"),
     )
-    g2 = d.repartition(spark.sparkContext.defaultParallelism).select(
+    g2 = widen_if_narrow(d).select(
         "doc_id", F.explode(tx.word_ngrams(F.col("tk"), 2)).alias("gram")
     )
     counted = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))

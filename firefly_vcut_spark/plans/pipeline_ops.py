@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from firefly_vcut_spark.operators import corpus as cp
 from firefly_vcut_spark.operators import text as tx
 from firefly_vcut_spark.operators.dedup import ngram_jaccard_pairs
+from firefly_vcut_spark.operators.skew import widen_if_narrow
 from firefly_vcut_spark.plans.registry import query
 from firefly_vcut_spark.sources.catalog import load_table
 
@@ -521,9 +522,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontaminate)."""
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 41 == 0)
-    corpus = d.filter(F.col("doc_id") % 41 != 0).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    corpus = widen_if_narrow(d.filter(F.col("doc_id") % 41 != 0))
     return cp.decontaminate(corpus, bench, n=4).select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("n_shared_grams").cast("bigint").alias("n_shared_grams"),
@@ -886,7 +885,7 @@ def corpus_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token array bound in a child projection (decon_sql's O(len²)
     # inline-split trap; r8)
     grams = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        widen_if_narrow(docs)
         .select("doc_id", "source", tx.tokens(F.col("text")).alias("tk"))
         .select(
             "doc_id",

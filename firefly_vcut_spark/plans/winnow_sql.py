@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from firefly_vcut_spark.operators.text import _MOD, winnow_fingerprints
+from firefly_vcut_spark.operators.skew import widen_if_narrow
 from firefly_vcut_spark.plans.registry import query
 from firefly_vcut_spark.sources.catalog import load_table
 
@@ -148,9 +149,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band key."""
     # the winnowing expression is the CPU stage: spread the (often
     # single-file) scan across cores before computing it
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
     fp = winnow_fingerprints(docs, "text", "doc_id", _K, _W)
     doc_fp = fp.select(
         "doc_id", F.explode(F.array_distinct(F.transform("fps", lambda x: x["h"]))).alias("h")

@@ -98,7 +98,6 @@ _LINT_ALLOW: dict[str, set[str]] = {
     "corpus_cluster_safe_split": {"exchange-count", "sort-merge-join"},  # big-big SMJ on cluster id; CC chain is multi-stage
     "corpus_dup_span_removal": {"unpushed-filter"},  # expr-filter: tokenization size predicate
     "corpus_prepare_manifest": {"exchange-count"},  # multi-stage: dedup chain + split + stats
-    "corpus_semdedup": {"exchange-count", "sort-merge-join"},  # big-big SMJ: cell-blocked pair join; quantize+pair+rollup stages
     "corpus_temperature_mixture": {"sort-merge-join"},  # big-big SMJ: per-source sampled union at scale
     "dedup_allpairs_prefix": {"exchange-count", "unpushed-filter"},  # multi-stage by design (df + prefix + verify); expr-filter on token arrays
     "dedup_lsh_band_tuning": {"exchange-count", "unpushed-filter"},  # eval harness: inherits the AllPairs chain's findings (allowlisted on its own above); the sweep adds only a scalar agg + 6-row unpivot

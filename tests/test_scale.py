@@ -76,3 +76,35 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
 def test_session_factory_scale_conf(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+def test_widen_if_narrow_modes(spark, sf_dir, monkeypatch):
+    """widen_if_narrow: on a local master it pins full parallelism
+    (the historical behaviour, zero probe overhead); in auto/probe
+    mode an already-wide input passes through UNCHANGED (the 100 TB
+    path — no round-robin exchange of the corpus); never is a no-op."""
+    from firefly_vcut_spark.operators.skew import widen_if_narrow
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dp = spark.sparkContext.defaultParallelism
+
+    # local master default: unconditional widen to defaultParallelism
+    monkeypatch.delenv("SPARK_GRAFT_WIDEN", raising=False)
+    assert widen_if_narrow(docs).rdd.getNumPartitions() == dp
+
+    # never: identical object, no exchange
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN", "never")
+    assert widen_if_narrow(docs) is docs
+
+    # auto on a genuinely wide input: pass-through (no new exchange);
+    # on a narrow input: widened — the at-scale decision rule
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN", "auto")
+    wide = docs.repartition(dp + 3)
+    assert widen_if_narrow(wide) is wide
+    narrow = docs.coalesce(1)
+    assert widen_if_narrow(narrow).rdd.getNumPartitions() == dp
+
+    # results are placement-invariant: same rows either way
+    monkeypatch.delenv("SPARK_GRAFT_WIDEN", raising=False)
+    assert sorted(r.doc_id for r in widen_if_narrow(docs).collect()) == sorted(
+        r.doc_id for r in docs.collect()
+    )
