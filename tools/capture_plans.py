@@ -28,7 +28,9 @@ def main() -> None:
     qs = all_queries()
     names = [n for n, q in sorted(qs.items()) if "bench" in q.tags]
     if only:
-        names = [n for n in names if n in only]
+        # explicit names need not be bench-tagged: non-headline queries
+        # whose operators an optimization round touches get snapshots too
+        names = [n for n in sorted(qs) if n in only]
 
     largest = max(
         (os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir) if f.endswith(".parquet")),
