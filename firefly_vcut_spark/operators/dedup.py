@@ -85,6 +85,34 @@ def charfold_hash(s: Column) -> Column:
     )
 
 
+def bucket_pairs(buckets: DataFrame, xs_col: str) -> DataFrame:
+    """Explode each bucket array's C(n, 2) ordered element pairs as
+    (_a, _b) rows via NESTED generators: posexplode picks element i,
+    then that element's tail slice explodes in a second generator.
+
+    The previous form — flatten(transform(xs, (a, i) -> transform(
+    slice(...), b -> struct(a, b)))) fed to one explode — materialized
+    the ENTIRE C(n, 2) struct array inside a single row before the
+    generator ran: a degenerate hot bucket (e.g. one simhash band value
+    shared by 100k near-empty docs) builds 5x10^9 structs in one row,
+    OOM / 2 GB-array territory (guide §5). The nested form's peak row
+    width is one tail slice — O(n) — and the pair stream is consumed
+    incrementally by the downstream aggregation inside the same
+    whole-stage-codegen span (verified: both Generates fuse, no new
+    exchange). Pair SET is identical: elements taken in array order,
+    _a strictly before _b."""
+    xs = F.col(xs_col)
+    headed = buckets.select(
+        xs.alias("_xs"), F.posexplode(xs_col).alias("_i", "_a")
+    )
+    tail = F.slice(
+        "_xs",
+        F.col("_i") + F.lit(2),
+        F.greatest(F.size("_xs") - F.col("_i") - F.lit(1), F.lit(0)),
+    )
+    return headed.select("_a", F.explode(tail).alias("_b"))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """MinHash signature: for seed i, min over shingles of
     xxhash64(i, shingle) — one pass, no shuffle, JVM hash."""
@@ -115,12 +143,12 @@ def minhash_lsh_candidates(
 
     Pair generation is bucket-array, not self-join: one shuffle on
     (band_id, band_hash) collects each bucket's sorted ids and the
-    candidate pairs explode from the array in codegen. A self-join
-    would run the whole signature pipeline (shingle explode ×
+    candidate pairs explode from the array in codegen (nested
+    generators — see bucket_pairs for the hot-bucket memory bound). A
+    self-join would run the whole signature pipeline (shingle explode ×
     num_hashes hash columns × min-agg) once PER SIDE; the bucket
-    aggregation runs it once. Work per bucket is C(|bucket|, 2)
-    either way — near-dup buckets are small by construction, and a
-    pathological hot bucket hurts the self-join identically."""
+    aggregation runs it once. CPU per bucket is C(|bucket|, 2) either
+    way — near-dup buckets are small by construction."""
     banded = minhash_band_table(
         docs, text_col, id_col, num_hashes, bands, hash_mode
     ).select("id", F.explode("bands").alias("band")).select(
@@ -131,19 +159,9 @@ def minhash_lsh_candidates(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    n = F.size("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda a, i: F.transform(
-                F.slice("ids", i + 2, F.greatest(n - i - 1, F.lit(0))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        bucket_pairs(buckets, "ids")
+        .groupBy(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
 
@@ -262,11 +280,12 @@ def simhash_near_dups(
     Pair generation is bucket-array, not self-join (the same rewrite
     as minhash_lsh_candidates): one shuffle on (band_id, band_val)
     collects each bucket's (id, simhash) rows sorted by id, and the
-    candidate pairs explode from the array in codegen — the signature
-    pipeline (token explode × 64 bitplane aggregates) runs ONCE
-    instead of once per join side. Work per bucket is C(|bucket|, 2)
-    either way; a pathological hot band value hurts the self-join
-    identically (the join key IS the bucket)."""
+    candidate pairs explode from the array in codegen via nested
+    generators (bucket_pairs — O(|bucket|) peak row memory, so a hot
+    band value can't OOM a single row) — the signature pipeline
+    (token explode × 64 bitplane aggregates) runs ONCE instead of
+    once per join side. CPU per bucket is C(|bucket|, 2) either way,
+    matching the self-join."""
     sigs = simhash64(docs, text_col, id_col)
     banded = sigs.select(
         "id",
@@ -290,24 +309,14 @@ def simhash_near_dups(
         .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
-    n = F.size("xs")
-    pair_structs = F.flatten(
-        F.transform(
-            "xs",
-            lambda a, i: F.transform(
-                F.slice("xs", i + 2, F.greatest(n - i - 1, F.lit(0))),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    a["simhash"].alias("sh_a"),
-                    b["simhash"].alias("sh_b"),
-                ),
-            ),
-        )
-    )
     cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
+        bucket_pairs(buckets, "xs")
+        .select(
+            F.col("_a.id").alias("id_a"),
+            F.col("_b.id").alias("id_b"),
+            F.col("_a.simhash").alias("sh_a"),
+            F.col("_b.simhash").alias("sh_b"),
+        )
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -392,28 +401,13 @@ def simhash_near_dups_portable(
         )
         .filter(F.size("xs") >= 2)
     )
-    nx = F.size("xs")
-    pair_structs = F.flatten(
-        F.transform(
-            "xs",
-            lambda a, i: F.transform(
-                F.slice("xs", i + 2, F.greatest(nx - i - 1, F.lit(0))),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    *[a[f"band{k}"].alias(f"a{k}") for k in range(4)],
-                    *[b[f"band{k}"].alias(f"b{k}") for k in range(4)],
-                ),
-            ),
-        )
-    )
     cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        bucket_pairs(buckets, "xs")
         .select(
-            "p.id_a",
-            "p.id_b",
-            *[f"p.a{k}" for k in range(4)],
-            *[f"p.b{k}" for k in range(4)],
+            F.col("_a.id").alias("id_a"),
+            F.col("_b.id").alias("id_b"),
+            *[F.col(f"_a.band{k}").alias(f"a{k}") for k in range(4)],
+            *[F.col(f"_b.band{k}").alias(f"b{k}") for k in range(4)],
         )
         .distinct()
     )

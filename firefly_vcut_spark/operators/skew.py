@@ -127,29 +127,86 @@ def widen_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
     Mode resolution (override with ``SPARK_GRAFT_WIDEN``):
 
     - ``local[...]`` master (the only place the narrow-scan problem
-      exists — a bench/test SF is one small file): widen
+      exists — a bench/test SF is one small file; ``local-cluster``
+      masters simulate a real cluster and take the auto path): widen
       unconditionally. Zero probe overhead, byte-identical plan to the
       historical pin, so the driver's bench stays comparable.
-    - any cluster master: probe the ACTUAL planned partition count
-      (``df.rdd`` plans the scan with the session's live
-      ``maxPartitionBytes``; no job runs — ~0.1 s of driver time,
-      irrelevant next to cluster-scale stages) and widen only if the
-      input really is narrower than the cores. At 100 TB the scan
-      yields thousands of splits, so the exchange simply disappears.
+    - any cluster master: probe the ACTUAL planned partition count and
+      widen only if the input really is narrower than the cores. At
+      100 TB the scan yields thousands of splits, so the exchange
+      simply disappears. The probe is restricted to EXCHANGE-FREE
+      inputs (scan/project/filter/generate pipelines — exactly where
+      the narrow-file problem lives): for a plan that acquires an
+      Exchange, ``df.rdd`` under AQE materializes the upstream query
+      stages eagerly (the shuffle/broadcast jobs run at probe time and
+      their work is discarded when the returned DataFrame executes),
+      and a shuffle's output width is ``spark.sql.shuffle.partitions``
+      anyway — a knob the cluster sizes to its own width. Narrowness
+      is decided from a WHITELIST of narrow physical nodes over the
+      pre-preparation ``sparkPlan`` (exchanges are only inserted by
+      EnsureRequirements later, so joins/aggregates are recognised by
+      their own nodes; an unknown node fails safe to "don't probe").
+      For whitelisted plans ``df.rdd`` only plans the scan under the
+      live ``maxPartitionBytes``; no job runs (~0.1 s of driver
+      time).
 
     ``SPARK_GRAFT_WIDEN=never`` forces the no-op, ``=always`` the
     unconditional exchange, ``=auto`` the probe — useful for A/B
     measurement on either side.
     """
     import os
+    import re
 
     sc = df.sparkSession.sparkContext
     mode = os.environ.get("SPARK_GRAFT_WIDEN")
     if mode is None:
-        mode = "always" if sc.master.startswith("local") else "auto"
+        mode = "always" if re.fullmatch(r"local(\[.*\])?", sc.master) else "auto"
     if mode == "never":
         return df
     n = target or sc.defaultParallelism
-    if mode == "always" or df.rdd.getNumPartitions() < n:
+    if mode == "always":
+        return df.repartition(n)
+    if not _probe_is_safe(df):
+        return df
+    if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+# Physical nodes that are narrow (no exchange, no broadcast, no
+# subquery) — the only plans widen_if_narrow's auto probe may touch.
+# Anything else (joins, aggregates, windows, sorts, limits, explicit
+# exchanges, unknown future nodes) fails safe: no probe, no widen.
+_NARROW_NODES = frozenset(
+    {
+        "FileScan",
+        "BatchScan",
+        "Scan",
+        "LocalTableScan",
+        "Range",
+        "Project",
+        "Filter",
+        "Generate",
+        "Coalesce",
+        "Union",
+        "ColumnarToRow",
+        "RowToColumnar",
+        "InputAdapter",
+        "WholeStageCodegen",
+    }
+)
+
+
+def _probe_is_safe(df: DataFrame) -> bool:
+    """True iff every node of the pre-preparation physical plan is in
+    the narrow whitelist — i.e. executing ``df.rdd`` plans the scan and
+    nothing else (no AQE stage materialization can fire)."""
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    for raw in plan.splitlines():
+        line = raw.lstrip(" :+-*")
+        if not line:
+            continue
+        node = line.split(" ", 1)[0].split("(", 1)[0]
+        if node and node not in _NARROW_NODES:
+            return False
+    return True

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from firefly_vcut_spark.operators.dedup import normalized_text, word_shingles
+from firefly_vcut_spark.operators.dedup import (
+    bucket_pairs,
+    normalized_text,
+    word_shingles,
+)
 from firefly_vcut_spark.plans.registry import query
 from firefly_vcut_spark.sources.catalog import load_table
 
@@ -242,7 +246,9 @@ def allpairs_candidates(
     # bucket-array pair generation (same rewrite as the MinHash /
     # winnow / SimHash candidate stages): ONE term-keyed aggregation
     # collects each prefix term's (id, rk, sz) rows sorted by id and
-    # the candidate pairs explode from the array in codegen. The old
+    # the candidate pairs explode from the array in codegen (nested
+    # generators — bucket_pairs bounds peak row memory at O(|bucket|)
+    # even for a hot term). The old
     # term self-join evaluated the WHOLE prefix pipeline (shingle
     # explode → df join → two windows) once per join side; this runs
     # it once. Per-term work stays C(|bucket|, 2) either way, and
@@ -253,26 +259,16 @@ def allpairs_candidates(
         .agg(F.sort_array(F.collect_list(F.struct("id", "rk", "sz"))).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
-    nx = F.size("xs")
-    pair_structs = F.flatten(
-        F.transform(
-            "xs",
-            lambda pa, i: F.transform(
-                F.slice("xs", i + 2, F.greatest(nx - i - 1, F.lit(0))),
-                lambda pb: F.struct(
-                    pa["id"].alias("id_a"),
-                    pb["id"].alias("id_b"),
-                    pa["rk"].alias("ra"),
-                    pa["sz"].alias("sza"),
-                    pb["rk"].alias("rb"),
-                    pb["sz"].alias("szb"),
-                ),
-            ),
-        )
-    )
     joined = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.ra", "p.sza", "p.rb", "p.szb")
+        bucket_pairs(buckets, "xs")
+        .select(
+            F.col("_a.id").alias("id_a"),
+            F.col("_b.id").alias("id_b"),
+            F.col("_a.rk").alias("ra"),
+            F.col("_a.sz").alias("sza"),
+            F.col("_b.rk").alias("rb"),
+            F.col("_b.sz").alias("szb"),
+        )
         .filter(F.col("id_a") < F.col("id_b"))
     )
     if not positional:

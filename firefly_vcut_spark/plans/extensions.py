@@ -782,7 +782,19 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query rollup shuffles O(queries · k) id pairs."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
-    truth = brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    # truth is consumed TWICE below (the hits join + the per-query
+    # anchor list); without materialization the brute-force exact
+    # scoring pass — the most expensive subtree in this query — runs
+    # once per consumer. localCheckpoint the O(queries x k) id-pair
+    # result (tiny: the corpus-sized work stays one pass) so both
+    # consumers read the materialized rows (guide §2.4 don't duplicate
+    # subtrees / §5 cache exactly the re-read state; rebuilt inside
+    # the query on every invocation — nothing persists across runs).
+    truth = (
+        brute_force_topk(e, q, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     approx = ivf_lloyd_topk(e, q, k=5).select("query_id", "neighbor_id")
     # both result sets are O(queries · k) — broadcast the probe side
     # so the overlap never sort-merges

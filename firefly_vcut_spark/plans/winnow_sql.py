@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from firefly_vcut_spark.operators.dedup import bucket_pairs
 from firefly_vcut_spark.operators.text import _MOD, winnow_fingerprints
 from firefly_vcut_spark.operators.skew import widen_if_narrow
 from firefly_vcut_spark.plans.registry import query
@@ -163,19 +164,9 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_DOCS_PER_FP))
     )
-    n = F.size("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            "ids",
-            lambda a, i: F.transform(
-                F.slice("ids", i + 2, F.greatest(n - i - 1, F.lit(0))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        bucket_pairs(buckets, "ids")
+        .groupBy(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )

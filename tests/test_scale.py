@@ -103,8 +103,39 @@ def test_widen_if_narrow_modes(spark, sf_dir, monkeypatch):
     narrow = docs.coalesce(1)
     assert widen_if_narrow(narrow).rdd.getNumPartitions() == dp
 
+    # auto must never probe (let alone widen) an exchange-bearing
+    # input: under AQE df.rdd materializes the upstream query stages
+    # EAGERLY — the shuffle/broadcast jobs would run at probe time and
+    # be re-executed when the plan is consumed. Assert pass-through AND
+    # that zero jobs ran during the call (the r11 ADVICE regression).
+    sc = spark.sparkContext
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    sc.setJobGroup("widen-probe-guard", "no jobs may run at probe time")
+    try:
+        assert widen_if_narrow(joined) is joined
+        assert list(sc.statusTracker().getJobIdsForGroup("widen-probe-guard")) == []
+    finally:
+        sc.setJobGroup("", "")
+
     # results are placement-invariant: same rows either way
     monkeypatch.delenv("SPARK_GRAFT_WIDEN", raising=False)
     assert sorted(r.doc_id for r in widen_if_narrow(docs).collect()) == sorted(
         r.doc_id for r in docs.collect()
     )
+
+
+def test_bucket_pairs_hot_bucket_streams(spark):
+    """A degenerate hot bucket — ONE band value shared by 20k docs
+    (boilerplate/near-empty texts collapsing to the same simhash band)
+    — must STREAM its C(n,2) = 2x10^8 candidate pairs through the
+    nested generators. The pre-r12 flatten(transform(...)) pair
+    generation materialized all pairs as a single-row struct array
+    first — several GB in one row at this size (guide §5) — measured
+    killing the whole local JVM with java.lang.OutOfMemoryError after
+    ~160 s, while this form counts the identical pair stream in ~4 s
+    with O(n) peak row width."""
+    from firefly_vcut_spark.operators.dedup import bucket_pairs
+
+    n = 20_000
+    buckets = spark.range(1).select(F.sequence(F.lit(1), F.lit(n)).alias("ids"))
+    assert bucket_pairs(buckets, "ids").count() == n * (n - 1) // 2

@@ -1,7 +1,8 @@
 """Capture .explain("formatted") for the bench headline queries into
-plans/r11/<query>_<tag>.txt (tag = before/after), under the same
-session tuning bench.py applies per query, so the captured plan is the
-plan the bench actually times.
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (tag = before/after;
+round dir defaults to r12), under the same session tuning bench.py
+applies per query, so the captured plan is the plan the bench actually
+times.
 
 Usage: python tools/capture_plans.py <tag> [query ...]
 """
@@ -18,7 +19,12 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    round_dir = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        round_dir,
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from firefly_vcut_spark.plans import all_queries
