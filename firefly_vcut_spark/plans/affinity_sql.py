@@ -293,7 +293,7 @@ def _allpairs_ver_cte(corpus_sql: str = "SELECT doc_id, text FROM documents") ->
     sizes, not the rounded jaccard)."""
     return f"""toks AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS t
                   FROM ({corpus_sql})),
-    shingled AS (SELECT id, {_SHINGLES} AS shs FROM toks),
+    shingled AS MATERIALIZED (SELECT id, {_SHINGLES} AS shs FROM toks),
     sh AS (SELECT id, unnest(shs) AS term FROM shingled),
     df AS (SELECT term, count(*) AS df FROM sh GROUP BY term),
     ranked AS (
@@ -301,13 +301,13 @@ def _allpairs_ver_cte(corpus_sql: str = "SELECT doc_id, text FROM documents") ->
              row_number() OVER (PARTITION BY s.id ORDER BY d.df, s.term) AS rk,
              count(*) OVER (PARTITION BY s.id) AS sz
       FROM sh s JOIN df d USING (term)),
-    prefix AS (
+    prefix AS MATERIALIZED (
       SELECT id, term FROM ranked
       WHERE rk <= sz - CAST(ceil({ALLPAIRS_TAU} * sz) AS BIGINT) + 1),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM prefix a JOIN prefix b ON a.term = b.term AND a.id < b.id),
-    sized AS (SELECT id, shs, len(shs) AS sz FROM shingled),
+    sized AS MATERIALIZED (SELECT id, shs, len(shs) AS sz FROM shingled),
     ver AS (
       SELECT c.id_a, c.id_b,
              len(list_intersect(sa.shs, sb.shs)) AS ix,
@@ -373,8 +373,18 @@ def allpairs_verified_pairs(docs: DataFrame) -> DataFrame:
     text) — the shared Spark twin of ``_allpairs_ver_cte`` used by
     dedup_allpairs_prefix, the recall eval, and the banding-tuning
     eval (which consumes ix/union integers, not the rounded double)."""
+    from firefly_vcut_spark.operators.skew import widen_if_narrow
+
     tau = ALLPAIRS_TAU
-    shingled = docs.select(
+    # Widen a narrow (small single-file) scan so the shingle
+    # derivation — regex normalize + split + per-window array_join,
+    # the most expensive per-row stage in this family and evaluated
+    # once per consumer (candidate explode, sa/sb verify join-backs) —
+    # doesn't serialize on 1-2 scan splits (guide §2: the r12 phase
+    # decomposition measured the sf1 explode pass at 75 s on a 1-split
+    # scan vs ~4 s wide; at scale the scan is already wide and
+    # widen_if_narrow's auto probe adds no exchange).
+    shingled = widen_if_narrow(docs).select(
         F.col("doc_id").alias("id"), word_shingles(F.col("text")).alias("shs")
     )
     cand = allpairs_candidates(shingled, tau, positional=True)

@@ -126,11 +126,11 @@ def _minhash_xxh_sql(num_hashes: int = 32, bands: int = 8) -> str:
     ),
     sh AS (SELECT id, unnest(shs) AS s FROM shingled),
     dsh AS (SELECT DISTINCT s FROM sh),
-    hashed AS (
+    hashed AS MATERIALIZED (
         SELECT s, {ob.xxh64_multi_expr('pp', 'bn', seeds)} AS hs
         FROM {sh_chain}
     ),
-    sig AS (
+    sig AS MATERIALIZED (
         SELECT sh.id,
                {sig_cols}
         FROM sh JOIN hashed h ON sh.s = h.s
@@ -139,7 +139,7 @@ def _minhash_xxh_sql(num_hashes: int = 32, bands: int = 8) -> str:
     bandstr AS (
         {band_strs}
     ),
-    banded AS (
+    banded AS MATERIALIZED (
         SELECT id, band_id,
                {ob.signed64(f"{ob.xxh64_multi_expr('qq', 'bn', f'[{ob.SPARK_HASH_SEED}::HUGEINT]')}[1]")} AS band_hash
         FROM {bh_chain}
@@ -219,11 +219,13 @@ def _minhash_portable_sql(
         FROM toks
     ),
     sh AS (SELECT id, unnest(shs) AS s FROM shingled),
-    shh AS (SELECT id, {charfold} AS h FROM sh),
-    sig AS (SELECT id,
+    uniq AS MATERIALIZED (SELECT DISTINCT s FROM sh),
+    uh AS (SELECT s, {charfold} AS h FROM uniq),
+    shh AS (SELECT id, h FROM sh JOIN uh USING (s)),
+    sig AS MATERIALIZED (SELECT id,
                {sig_cols}
             FROM shh GROUP BY id),
-    banded AS (
+    banded AS MATERIALIZED (
         {band_selects}
     )
     SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_bands
@@ -290,14 +292,16 @@ def _simhash_portable_sql(max_hamming: int = 3) -> str:
         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
     ),
     toks AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM corpus),
-    hashed AS (SELECT id, {charfold} AS h FROM toks),
+    dtok AS MATERIALIZED (SELECT DISTINCT tok FROM toks),
+    th AS (SELECT tok, {charfold} AS h FROM dtok),
+    hashed AS (SELECT id, h FROM toks JOIN th USING (tok)),
     planes AS (SELECT id,
                {plane_sums}
             FROM hashed GROUP BY id),
-    sigs AS (SELECT id,
+    sigs AS MATERIALIZED (SELECT id,
                {band_cols}
             FROM planes),
-    banded AS (
+    banded AS MATERIALIZED (
         {band_selects}
     ),
     cand AS (
@@ -381,8 +385,8 @@ def _simhash_xxh_sql(max_hamming: int = 3) -> str:
         FROM toks t JOIN hashed h ON t.tok = h.tok
         GROUP BY t.id
     ),
-    sigs AS (SELECT id, {sim} AS sim FROM planes),
-    banded AS (
+    sigs AS MATERIALIZED (SELECT id, {sim} AS sim FROM planes),
+    banded AS MATERIALIZED (
         {band_selects}
     ),
     cand AS (
@@ -420,17 +424,17 @@ def _lsh_then_verify_sql() -> str:
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
     ),
-    cands AS (SELECT id_a, id_b FROM ({_minhash_portable_sql()}) q),
+    cands AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_portable_sql()}) q),
     wanted AS (
         SELECT DISTINCT id
         FROM (SELECT id_a AS id FROM cands UNION ALL SELECT id_b AS id FROM cands)
     ),
-    base AS (
+    base AS MATERIALIZED (
         SELECT doc_id AS id, list_distinct({_TOKS}) AS toks,
                len(list_distinct({_TOKS})) AS n_toks
         FROM corpus JOIN wanted ON wanted.id = corpus.doc_id
     ),
-    tok AS (SELECT id, unnest(toks) AS tok FROM base),
+    tok AS MATERIALIZED (SELECT id, unnest(toks) AS tok FROM base),
     inter AS (
         SELECT c.id_a, c.id_b, count(*) AS n_inter
         FROM cands c

@@ -638,17 +638,17 @@ def _canonical_docs_sql() -> str:
         corpus_sql="SELECT doc_id, text FROM documents"
     )
     return f"""
-    WITH RECURSIVE cands AS (SELECT id_a, id_b FROM ({minhash}) mh),
+    WITH RECURSIVE cands AS MATERIALIZED (SELECT id_a, id_b FROM ({minhash}) mh),
     wanted AS (
       SELECT DISTINCT id
       FROM (SELECT id_a AS id FROM cands UNION ALL SELECT id_b AS id FROM cands)
     ),
-    vbase AS (
+    vbase AS MATERIALIZED (
       SELECT doc_id AS id, list_distinct({_TOKS}) AS toks,
              len(list_distinct({_TOKS})) AS n_toks
       FROM documents JOIN wanted ON wanted.id = documents.doc_id
     ),
-    vtok AS (SELECT id, unnest(toks) AS tok FROM vbase),
+    vtok AS MATERIALIZED (SELECT id, unnest(toks) AS tok FROM vbase),
     inter AS (
       SELECT c.id_a, c.id_b, count(*) AS n_inter
       FROM cands c
@@ -656,7 +656,7 @@ def _canonical_docs_sql() -> str:
       JOIN vtok b ON b.id = c.id_b AND a.tok = b.tok
       GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT c.id_a, c.id_b
       FROM cands c
       LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
@@ -665,7 +665,7 @@ def _canonical_docs_sql() -> str:
       WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
                   / (na.n_toks + nb.n_toks - coalesce(i.n_inter, 0)), 4) >= 0.8
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION SELECT id_b, id_a FROM pairs
       UNION SELECT id_a, id_a FROM pairs

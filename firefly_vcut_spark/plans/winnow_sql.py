@@ -53,7 +53,7 @@ winstarts AS (
   SELECT doc_id, unnest(range(1, m - {_W} + 2)) AS ws
   FROM dims WHERE m >= {_W}
 ),
-grid AS (
+grid AS MATERIALIZED (
   SELECT g.doc_id, w.ws, g.i, g.h
   FROM grams g JOIN winstarts w
     ON g.doc_id = w.doc_id AND g.i BETWEEN w.ws AND w.ws + {_W - 1}
@@ -119,7 +119,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_winnow_pairs",
     sql=f"""
     WITH {_FPS_CTE},
-    doc_fp AS (SELECT DISTINCT doc_id, h FROM fps),
+    doc_fp AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM fps),
     common AS (
       SELECT h FROM doc_fp GROUP BY h
       HAVING count(*) BETWEEN 2 AND {_MAX_DOCS_PER_FP}

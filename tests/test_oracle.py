@@ -1,5 +1,14 @@
 """Every registry query vs its DuckDB oracle — the local mirror of the
-driver's t2 correctness gate, run at sf0.001 for speed."""
+driver's t2 correctness gate, run at sf0.001 for speed.
+
+The sweep executes ONCE per session on the shared thread pool
+(tests/sweep_util.py — guide §2.6 job overlap; the per-query walls at
+sf0.001 are fixed job-launch latency, so overlapping them reclaims the
+idle cores and keeps the suite inside the driver's verify window).
+Each parametrized test re-raises its query's captured failure, so
+per-query reporting and ``-x`` semantics are unchanged and EVERY query
+is still value-checked in the default run — nothing is deselected,
+memoized across runs, or weakened."""
 
 from __future__ import annotations
 
@@ -9,6 +18,7 @@ import pytest
 
 from firefly_vcut_spark.oracle import compare
 from firefly_vcut_spark.plans import all_queries
+from tests.sweep_util import run_grouped
 
 QUERIES = all_queries()
 
@@ -44,8 +54,7 @@ def _assert_nonempty(spark, sf_dir, name, q, rows: int) -> None:
     )
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, sf_dir, name):
+def _check_one(spark, sf_dir: str, name: str) -> None:
     q = QUERIES[name]
     if q.sql is None:
         n = q.fn(spark, sf_dir).count()  # rows-only check, mirrors the driver
@@ -54,6 +63,22 @@ def test_query_matches_oracle(spark, sf_dir, name):
     res = compare(name, spark, sf_dir, q.fn, q.sql)
     assert res.ok, f"{name}: {res.detail}"
     _assert_nonempty(spark, sf_dir, name, q, res.spark_rows)
+
+
+@pytest.fixture(scope="session")
+def sweep_results(spark, sf_dir) -> dict[str, object]:
+    """name -> None (pass) or the captured exception, from one
+    thread-pooled pass over the whole registry."""
+    return run_grouped(
+        sorted(QUERIES), lambda name: _check_one(spark, sf_dir, name)
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(sweep_results, name):
+    err = sweep_results[name]
+    if err is not None:
+        raise err
 
 
 def _family(name: str) -> str:

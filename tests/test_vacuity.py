@@ -18,6 +18,7 @@ from firefly_vcut_spark.plans import all_queries
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root for tools/
 
+from tests.sweep_util import run_grouped  # noqa: E402
 from tools.vacuity_audit import zero_nodes  # noqa: E402
 
 # name -> why a zero-output operator is intended/accepted at sf0.001.
@@ -53,13 +54,24 @@ def audit_registry(
     Restores whatever AQE setting the session had before."""
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    # one independent job per query at gate scale = launch-latency
+    # bound; overlap them on the shared pool (tests/sweep_util.py).
+    # AQE stays off for the whole pooled pass — every worker sees the
+    # same static-plan session setting the sequential loop used.
+    def check(name: str) -> list[str]:
+        df = queries[name].fn(spark, sf_dir)
+        df.collect()
+        return zero_nodes(df._jdf.queryExecution().executedPlan())
+
     try:
+        results = run_grouped(list(queries), check)
         offenders: dict[str, list[str]] = {}
         stale: list[str] = []
-        for name, q in queries.items():
-            df = q.fn(spark, sf_dir)
-            df.collect()
-            zeros = zero_nodes(df._jdf.queryExecution().executedPlan())
+        for name in queries:
+            zeros = results[name]
+            if isinstance(zeros, BaseException):
+                raise zeros
             if zeros and name not in allowed:
                 offenders[name] = zeros
             if not zeros and name in allowed:
@@ -100,11 +112,19 @@ def test_all_queries_nonempty_at_sf01():
 
     sf01 = os.environ.get("SPARK_GRAFT_DILUTION_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("vacuity-dilution-gate")
+    qs = {
+        name: q for name, q in all_queries().items()
+        if "may-be-empty" not in q.tags
+    }
+    results = run_grouped(
+        list(qs), lambda name: qs[name].fn(spark, sf01).limit(1).count()
+    )
     empty = []
-    for name, q in all_queries().items():
-        if "may-be-empty" in q.tags:
-            continue
-        if q.fn(spark, sf01).limit(1).count() == 0:
+    for name in qs:
+        n = results[name]
+        if isinstance(n, BaseException):
+            raise n
+        if n == 0:
             empty.append(name)
     assert not empty, (
         f"queries empty at sf0.1 — a fixed threshold diluted by data "
