@@ -120,3 +120,32 @@ def test_ppjoin_positional_filter_prunes_and_is_lossless(spark, sf_dir):
     assert pos <= plain
     assert truth <= pos
     assert len(pos) < len(plain)
+
+
+def test_allpairs_shingle_scan_is_widened(spark, sf_dir, monkeypatch):
+    """r12: allpairs_verified_pairs runs its shingle derivation (the
+    family's most expensive per-row stage, measured 75 s/pass at sf1
+    on a 1-split scan) behind widen_if_narrow. On a local master the
+    plan must carry the round-robin pin (narrow single-file SFs would
+    otherwise serialize the stage); in auto mode with an already-wide
+    input the pipeline must add NO round-robin exchange (the 100 TB
+    path) while producing the identical pair set."""
+    from firefly_vcut_spark.plans.affinity_sql import allpairs_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    monkeypatch.delenv("SPARK_GRAFT_WIDEN", raising=False)
+    local = allpairs_verified_pairs(docs)
+    assert "RoundRobinPartitioning" in local._jdf.queryExecution().toString()
+
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN", "auto")
+    wide = allpairs_verified_pairs(
+        docs.repartition(spark.sparkContext.defaultParallelism + 3)
+    )
+    # the pre-widened repartition above is the only round-robin allowed
+    plan = wide._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("ROUND_ROBIN") <= plan.count("Repartition")
+
+    a = sorted(map(tuple, local.select("id_a", "id_b", "ix").collect()))
+    b = sorted(map(tuple, wide.select("id_a", "id_b", "ix").collect()))
+    assert a == b
